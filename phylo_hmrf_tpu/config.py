@@ -1,0 +1,109 @@
+"""Configuration for Phylo-HMRF TPU runs.
+
+Defaults follow the reference CLI (`phylo_hmrf.py:1531-1568` in the reference
+repo); where the reference README and code disagree (SURVEY.md section 5) the
+*code* defaults win, since that is what a reference run produces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+
+@dataclasses.dataclass
+class PhyloHMRFConfig:
+    """All knobs for a Phylo-HMRF estimation run.
+
+    Attributes mirror the reference flags (reference `phylo_hmrf.py:1531`)
+    plus TPU-specific controls. All are plain Python values so the config can
+    be serialized to JSON for checkpoint/resume.
+    """
+
+    # ---- model ----
+    n_states: int = 10                 # -n/--num_states
+    beta: float = 1.0                  # -b: Potts pairwise strength
+    beta1: float = 0.5                 # --beta1: edge-weight decay, w_e = exp(-beta1 * d_e)
+    cons_param: float = 1.0            # -c: lambda_0 ridge coefficient in the OU M-step
+    min_covar: float = 1e-3            # jitter added to every synthesized covariance
+    estimate_type: int = 0             # -g: 3 = weight the pairwise potential by edge weights
+                                       # in the posterior/cost pass (graph cuts always use them)
+
+    # ---- init blending (reference -d/-i/-k/-j) ----
+    initial_mode: int = 0
+    initial_weight: float = 0.3        # a1: weight on k-means-derived init params
+    initial_weight1: float = 0.1       # a2: weight on previous-iteration params
+    initial_magnitude: float = 1.0     # w2: magnitude of the random component
+
+    # ---- EM control ----
+    max_iter: int = 60                 # --miter
+    threshold: float = 1e-3            # -e convergence threshold (relative cost change)
+    patience: int = 50                 # iterations allowed past the best-cost iteration
+    min_iter: int = 5                  # threshold-based stop only allowed after this many iters
+    best_from_iter: int = 3            # best-tracked params/labels only recorded from this iter on
+
+    # ---- E-step label optimizer ----
+    labeler: str = "icm"               # "icm" (TPU) | "swap" (exact C++ maxflow oracle, CPU)
+    icm_max_sweeps: int = 60           # upper bound on checkerboard ICM sweeps per E-step
+    icm_beta_ramp: int = 4             # sweeps over which beta ramps 0.25->1.0 x target (cold start only)
+    swap_max_cycles: int = 5000        # parity with reference graph-cut budget
+
+    # ---- data pipeline ----
+    resolution: int = 50000            # --resolution
+    num_neighbor: int = 8              # --num_neighbor (4 or 8 connectivity)
+    filter_mode: int = 0               # 0: anisotropic diffusion, 1: bilateral, else gaussian
+    filter_sigma: float = 0.25         # -w (gaussian path)
+    filter_param1: float = 5           # diffusion niter / bilateral sigma_color
+    filter_param2: float = 50          # diffusion kappa / bilateral sigma_spatial
+    diagonal_type: int = 0             # --dtype: 1 = keep only diagonal (symmetric) blocks
+    x_min: float = 0.0
+    legacy_bin_count: bool = True      # reproduce the reference's py2 floor-division bin count
+    # centromere split points {chrom: (p1, p2)}; blocks spanning [p1,p2] are split.
+    # Reference hard-codes hg38 chr3/chr6 (`utility.py:385`); here it is config.
+    centromere_splits: dict = dataclasses.field(default_factory=lambda: {
+        3: (90279522, 93797661),
+        6: (57542947, 61520508),
+    })
+
+    # ---- numerics / hardware ----
+    seed: int = 0
+    dtype: str = "float32"
+    compute_posteriors_f64: bool = False
+    mstep_iters: int = 150             # L-BFGS iterations per M-step solve
+    mstep_retries: int = 10            # retry budget on NaN/out-of-bounds params (parity)
+    param_lo: float = 1e-16            # SLSQP-equivalent box (reference `phylo_hmrf.py:1365`)
+    param_hi: float = 100.0
+    pad_h: int = 8                     # grid padding multiples (f32 sublane x lane tiling)
+    pad_w: int = 128
+
+    # ---- parallelism ----
+    mesh_shape: Sequence[int] = ()     # empty = single device
+    mesh_axes: Sequence[str] = ("data",)
+
+    # ---- io ----
+    run_id: int = 0
+    output_path: str = "."
+    annotation: str = "test"
+
+    def __post_init__(self):
+        if self.num_neighbor not in (4, 8):
+            raise ValueError("num_neighbor must be 4 or 8 "
+                             f"(got {self.num_neighbor})")
+        if self.labeler not in ("icm", "swap"):
+            raise ValueError(f"unknown labeler {self.labeler!r}")
+
+    @property
+    def lambda_0(self) -> float:
+        return self.cons_param
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PhyloHMRFConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+
+SMALL_EPS = 1e-16  # matches the reference's global `small_eps`
+THRESH1 = 1e-5     # "missing pixel" threshold (reference `utility.py:47`)

@@ -1,0 +1,38 @@
+"""Gaussian emission (batched Cholesky logpdf) vs scipy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.stats import multivariate_normal
+
+from phylo_hmrf_tpu.models.emission import gaussian_logpdf
+
+
+def _random_spd(rng, f):
+    A = rng.random((f, f))
+    return A @ A.T + f * np.eye(f)
+
+
+def test_logpdf_matches_scipy(rng):
+    N, K, F = 200, 5, 4
+    X = rng.random((N, F)) * 3
+    means = rng.random((K, F))
+    covars = np.stack([_random_spd(rng, F) for _ in range(K)])
+    out = gaussian_logpdf(jnp.asarray(X), jnp.asarray(means),
+                          jnp.asarray(covars))
+    assert out.shape == (N, K)
+    for k in range(K):
+        expected = multivariate_normal(means[k], covars[k]).logpdf(X)
+        np.testing.assert_allclose(out[:, k], expected, rtol=2e-4, atol=2e-5)
+
+
+def test_logpdf_grid_batch_dims(rng):
+    H, W, K, F = 8, 16, 3, 4
+    X = rng.random((H, W, F))
+    means = rng.random((K, F))
+    covars = np.stack([_random_spd(rng, F) for _ in range(K)])
+    out = gaussian_logpdf(jnp.asarray(X), jnp.asarray(means),
+                          jnp.asarray(covars))
+    assert out.shape == (H, W, K)
+    flat = gaussian_logpdf(jnp.asarray(X.reshape(-1, F)),
+                           jnp.asarray(means), jnp.asarray(covars))
+    np.testing.assert_allclose(out.reshape(-1, K), flat, rtol=1e-6)
