@@ -76,10 +76,10 @@ def test_shuffled_edge_order():
     # edge lines in arbitrary order (and reversed pairs) must still parse;
     # the reference normalizes min(edge) as the parent (`phylo_hmrf.py:719`),
     # so the file format requires parent < child per edge.
-    edges = [(3, 4), (1, 0), (3, 2), (0, 3)]
+    edges = [(2, 4), (0, 2), (2, 3), (1, 0)]  # tree 0->{1,2}, 2->{3,4}
     t = build_tree(edges)
     assert t.root == 0
-    np.testing.assert_array_equal(t.leaf_nodes, [1, 2, 4])
+    np.testing.assert_array_equal(t.leaf_nodes, [1, 3, 4])
     assert t.n_params == 5 + 8 + 1
 
 
