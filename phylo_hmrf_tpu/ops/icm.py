@@ -1,0 +1,143 @@
+"""Checkerboard ICM — the TPU-parallel E-step label optimizer.
+
+Replaces the reference's serial alpha-beta-swap graph cuts
+(`GCoptimization.cpp:1282`, driven from `phylo_hmrf.py:496`) with a
+data-parallel coordinate-descent on the same weighted-Potts energy
+
+    E(s) = sum_p unary[p, s_p] + beta * sum_e w_e [s_u != s_v].
+
+Pixels are partitioned into 4 color classes by (i % 2, j % 2); within a
+color, no two pixels are 8-neighbors, so a simultaneous update of a whole
+color class is an exact block-coordinate-descent step and the energy is
+monotonically non-increasing. Sweeps run under `lax.while_loop` until no
+label changes or `max_sweeps` is hit.
+
+An optional deterministic beta ramp over the first sweeps (cold starts only)
+lets the strong-unary solution form before the smoothing term freezes local
+minima — the cheap stand-in for the global moves graph cuts would make.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from phylo_hmrf_tpu.ops.potts import (
+    neighbor_sums, neighbor_sums_soft, potts_energy)
+
+
+def _phase_masks(H: int, W: int):
+    i = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    return [(i % 2 == a) & (j % 2 == b)
+            for a in (0, 1) for b in (0, 1)]
+
+
+def icm(unary: jnp.ndarray, wmaps: jnp.ndarray, mask: jnp.ndarray,
+        init_labels: jnp.ndarray, beta: float, max_sweeps: int = 60,
+        beta_ramp: int = 0) -> jnp.ndarray:
+    """Run checkerboard ICM; returns the label grid (H, W) int32.
+
+    unary: (H, W, K); wmaps: (4, H, W) exp-weights (0 = no edge);
+    mask: (H, W) valid pixels; init_labels: (H, W) warm start.
+    """
+    H, W, K = unary.shape
+    phases = _phase_masks(H, W)
+    labels0 = jnp.where(mask, init_labels, 0).astype(jnp.int32)
+
+    def one_sweep(labels, beta_t):
+        changed = jnp.zeros((), jnp.int32)
+        for ph in phases:
+            agree, _ = neighbor_sums(labels, wmaps, K)
+            # argmin_c unary_c + beta*(wsum - agree_c): wsum is constant in c
+            score = unary - beta_t * agree
+            best = jnp.argmin(score, axis=-1).astype(jnp.int32)
+            upd = ph & mask
+            new_labels = jnp.where(upd, best, labels)
+            changed += jnp.sum((new_labels != labels).astype(jnp.int32))
+            labels = new_labels
+        return labels, changed
+
+    if beta_ramp > 0:
+        # deterministic anneal: beta * (t+1)/ramp for the first `ramp` sweeps
+        def ramp_body(t, labels):
+            beta_t = beta * jnp.minimum(1.0, (t + 1.0) / beta_ramp)
+            labels, _ = one_sweep(labels, beta_t)
+            return labels
+        labels0 = jax.lax.fori_loop(0, beta_ramp, ramp_body, labels0)
+
+    def cond(state):
+        _, changed, sweep = state
+        return (changed > 0) & (sweep < max_sweeps)
+
+    def body(state):
+        labels, _, sweep = state
+        labels, changed = one_sweep(labels, beta)
+        return labels, changed, sweep + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels0, jnp.int32(1), jnp.int32(0)))
+    return labels
+
+
+def icm_with_energy(unary, wmaps, mask, init_labels, beta,
+                    max_sweeps: int = 60, beta_ramp: int = 0):
+    """ICM plus the final MRF energy (for monitoring/parity gates)."""
+    labels = icm(unary, wmaps, mask, init_labels, beta, max_sweeps, beta_ramp)
+    energy = potts_energy(labels, unary, wmaps, mask, beta)
+    return labels, energy
+
+
+_MF_TEMPS = (4.0, 2.0, 1.0, 0.5, 0.25)
+
+
+def mean_field(unary: jnp.ndarray, wmaps: jnp.ndarray, beta: float,
+               temps=_MF_TEMPS, iters_per_temp: int = 8,
+               damping: float = 0.5) -> jnp.ndarray:
+    """Annealed, damped mean-field relaxation of the weighted-Potts energy.
+
+    Returns hardened labels (H, W) int32. Deterministic and fully parallel;
+    used as the global-move stage in front of ICM (`label_optimize`). On the
+    MRF instances this project targets, mean-field + ICM empirically matches
+    the exact alpha-beta-swap energy (see tests/test_potts_icm.py).
+    """
+    q0 = jax.nn.softmax(-unary, axis=-1)
+
+    temps_arr = jnp.repeat(jnp.asarray(temps, unary.dtype),
+                           iters_per_temp)
+
+    def step(q, T):
+        agree, wsum = neighbor_sums_soft(q, wmaps)
+        field = unary + beta * (wsum[..., None] - agree)
+        q_new = jax.nn.softmax(-field / T, axis=-1)
+        return damping * q + (1.0 - damping) * q_new, None
+
+    q, _ = jax.lax.scan(step, q0, temps_arr)
+    agree, wsum = neighbor_sums_soft(q, wmaps)
+    field = unary + beta * (wsum[..., None] - agree)
+    return jnp.argmin(field, axis=-1).astype(jnp.int32)
+
+
+def label_optimize(unary: jnp.ndarray, wmaps: jnp.ndarray, mask: jnp.ndarray,
+                   init_labels: jnp.ndarray, beta: float,
+                   method: str = "mf_icm", max_sweeps: int = 60,
+                   beta_ramp: int = 0) -> jnp.ndarray:
+    """Production E-step labeler.
+
+    method = "mf_icm" (default): annealed mean field proposes labels; the
+    proposal and the warm start are both ICM-polished and the lower-energy
+    one wins. "icm": plain warm-started checkerboard ICM.
+    """
+    if method == "icm":
+        return icm(unary, wmaps, mask, init_labels, beta, max_sweeps,
+                   beta_ramp)
+    if method != "mf_icm":
+        raise ValueError(f"unknown label method {method!r}")
+    mf_labels = mean_field(unary, wmaps, beta)
+    cand_a, e_a = icm_with_energy(unary, wmaps, mask, mf_labels, beta,
+                                  max_sweeps)
+    cand_b, e_b = icm_with_energy(unary, wmaps, mask, init_labels, beta,
+                                  max_sweeps)
+    return jnp.where(e_a <= e_b, cand_a, cand_b)
