@@ -1,0 +1,495 @@
+"""PhyloHMRF — the model class and EM engine.
+
+TPU-native redesign of the reference's `_BaseGraph.fit_accumulate_test` +
+`phyloHMRF` (reference base.py:301-455, phylo_hmrf.py:51-1528):
+
+* the per-region process fan-out (`base.py:357`) becomes jitted, vmapped
+  E-steps over shape-bucketed region stacks (optionally shard_mapped over a
+  device mesh, see parallel/sharding.py);
+* graph-cut labeling becomes the annealed mean-field + checkerboard ICM
+  labeler (ops/icm.py), with the exact C++ swap oracle as a CPU option;
+* the serial per-state SLSQP M-step (`phylo_hmrf.py:1515`) becomes one
+  vmapped boxed L-BFGS solve over all K states;
+* sufficient statistics reduce with a masked-matmul segment sum instead of
+  `np.einsum` per worker (`phylo_hmrf.py:314`).
+
+Host-side control flow (convergence bookkeeping, best-iteration tracking,
+retry policies) replicates the reference exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phylo_hmrf_tpu.config import PhyloHMRFConfig, SMALL_EPS
+from phylo_hmrf_tpu.data.regions import RegionGrid, flat_edge_list
+from phylo_hmrf_tpu.models.emission import gaussian_logpdf
+from phylo_hmrf_tpu.models.ou import (
+    check_params, ou_moments_batch, ou_nll_init, ou_nll_stats,
+    propagate_mean_guess)
+from phylo_hmrf_tpu.ops.icm import label_optimize
+from phylo_hmrf_tpu.ops.kmeans import kmeans
+from phylo_hmrf_tpu.ops.lbfgs import minimize_boxed
+from phylo_hmrf_tpu.ops.potts import (
+    pairwise_potential, posteriors_and_costs, sufficient_stats, valid_maps,
+    weight_maps)
+from phylo_hmrf_tpu.tree import PhyloTree
+
+
+@dataclasses.dataclass
+class FitResult:
+    """Mirrors the reference's fit_accumulate_test return tuple
+    (base.py:455) + restored moments."""
+    params_vec: np.ndarray     # best-cost OU params (K, n_params)
+    params_vec1: np.ndarray    # best-cost-from-iter-3 OU params
+    params_list: np.ndarray    # (n_iters, K, n_params)
+    iter_id1: int              # iteration of the overall best cost
+    iter_id2: int              # iteration of the best cost from iter >= 3
+    cost_vec: np.ndarray       # (n_iters, 4): [iter, pairwise, unary, cost1]
+    labels: np.ndarray         # (N,) flat states at iter_id2
+    means: np.ndarray          # (K, F) restored from params_vec
+    covars: np.ndarray         # (K, F, F) restored from params_vec
+    n_iters: int = 0
+
+
+def _estep_bucket(img, mask, dmaps, warm, means, covars, *, beta, beta1,
+                  weighted_pp: bool, labeler: str, max_sweeps: int):
+    """One jitted E-step over a stacked region bucket.
+
+    img (R,H,W,F), mask (R,H,W), dmaps (R,4,H,W), warm (R,H,W) labels.
+    Returns (labels (R,H,W), (post, obs, obs2) summed over the bucket,
+    cost_vec (R,4), n_valid (R,)).
+    """
+    logprob = gaussian_logpdf(img, means, covars)        # (R,H,W,K)
+    unary = -logprob
+
+    def one(unary_r, dmaps_r, mask_r, warm_r, logprob_r, img_r):
+        w_cut = weight_maps(dmaps_r, beta1)
+        labels = label_optimize(unary_r, w_cut, mask_r, warm_r, beta,
+                                method=labeler, max_sweeps=max_sweeps)
+        w_pp = w_cut if weighted_pp else valid_maps(dmaps_r)
+        K = unary_r.shape[-1]
+        pp = pairwise_potential(labels, w_pp, K, beta)
+        posteriors, cost_vec, n_valid = posteriors_and_costs(
+            logprob_r, labels, pp, mask_r, SMALL_EPS)
+        post, obs, obs2 = sufficient_stats(posteriors, img_r, mask_r)
+        return labels, post, obs, obs2, cost_vec, n_valid
+
+    labels, post, obs, obs2, cost_vec, n_valid = jax.vmap(one)(
+        unary, dmaps, mask, warm, logprob, img)
+    return (labels, (post.sum(0), obs.sum(0), obs2.sum(0)), cost_vec,
+            n_valid)
+
+
+def _finish_bucket(img, mask, dmaps, labels, means, covars, *, beta, beta1,
+                   weighted_pp: bool):
+    """Posterior/stats pass for externally supplied labels (swap backend)."""
+    logprob = gaussian_logpdf(img, means, covars)
+
+    def one(dmaps_r, mask_r, labels_r, logprob_r, img_r):
+        w_cut = weight_maps(dmaps_r, beta1)
+        w_pp = w_cut if weighted_pp else valid_maps(dmaps_r)
+        K = logprob_r.shape[-1]
+        pp = pairwise_potential(labels_r, w_pp, K, beta)
+        posteriors, cost_vec, n_valid = posteriors_and_costs(
+            logprob_r, labels_r, pp, mask_r, SMALL_EPS)
+        post, obs, obs2 = sufficient_stats(posteriors, img_r, mask_r)
+        return post, obs, obs2, cost_vec, n_valid
+
+    post, obs, obs2, cost_vec, n_valid = jax.vmap(one)(
+        dmaps, mask, labels, logprob, img)
+    return (post.sum(0), obs.sum(0), obs2.sum(0)), cost_vec, n_valid
+
+
+class PhyloHMRF:
+    """Phylo-HMRF model over a set of region grids."""
+
+    def __init__(self, tree: PhyloTree, regions: Sequence[RegionGrid],
+                 config: PhyloHMRFConfig | None = None):
+        self.tree = tree
+        self.regions = list(regions)
+        self.cfg = config or PhyloHMRFConfig()
+        cfg = self.cfg
+
+        self.n_states = cfg.n_states
+        self.n_features = tree.n_leaves
+        self.n_params = tree.n_params
+
+        # flat-sample layout (reference len_vec offsets)
+        self.offsets = np.zeros(len(self.regions) + 1, dtype=np.int64)
+        for i, r in enumerate(self.regions):
+            if r.img.shape[-1] != self.n_features:
+                raise ValueError(
+                    f"region {i} has {r.img.shape[-1]} features, tree has "
+                    f"{self.n_features} leaves")
+            self.offsets[i + 1] = self.offsets[i] + r.n_samples
+        self.n_samples = int(self.offsets[-1])
+
+        self.len_vec = np.asarray([
+            r.len_vec_row(int(self.offsets[i]), int(self.offsets[i + 1]))
+            for i, r in enumerate(self.regions)], dtype=np.int64)
+
+        # shape buckets for jitted batching
+        self._buckets = {}
+        for idx, r in enumerate(self.regions):
+            self._buckets.setdefault(r.shape, []).append(idx)
+        self._bucket_arrays = {}
+        for shape, idxs in self._buckets.items():
+            img = jnp.asarray(np.stack([self.regions[i].img for i in idxs]))
+            mask = jnp.asarray(np.stack([self.regions[i].mask for i in idxs]))
+            dmaps = jnp.asarray(
+                np.stack([self.regions[i].dmaps for i in idxs]))
+            self._bucket_arrays[shape] = (idxs, img, mask, dmaps)
+
+        labeler = cfg.labeler if cfg.labeler != "swap" else "mf_icm"
+        self._estep_jit = jax.jit(functools.partial(
+            _estep_bucket, beta=cfg.beta, beta1=cfg.beta1,
+            weighted_pp=(cfg.estimate_type == 3), labeler=labeler,
+            max_sweeps=cfg.icm_max_sweeps))
+        self._finish_jit = jax.jit(functools.partial(
+            _finish_bucket, beta=cfg.beta, beta1=cfg.beta1,
+            weighted_pp=(cfg.estimate_type == 3)))
+
+        tree_ = self.tree
+
+        def _solve_state(p0, post_c, obs_c, obs2_c):
+            def fn(p):
+                return ou_nll_stats(p, post_c, obs_c, obs2_c, tree_,
+                                    float(self.n_samples), cfg.lambda_0,
+                                    cfg.min_covar)
+            return minimize_boxed(fn, p0, cfg.param_lo, cfg.param_hi,
+                                  cfg.mstep_iters)
+
+        self._mstep_jit = jax.jit(jax.vmap(_solve_state))
+
+        def _solve_init(p0, xbar_c, xxT_c):
+            def fn(p):
+                return ou_nll_init(p, xbar_c, xxT_c, tree_, cfg.min_covar)
+            return minimize_boxed(fn, p0, cfg.param_lo, cfg.param_hi,
+                                  cfg.mstep_iters)
+
+        self._init_fit_jit = jax.jit(jax.vmap(_solve_init))
+        self._moments_jit = jax.jit(
+            functools.partial(ou_moments_batch, tree=tree_))
+
+        # mutable fit state
+        self._rng = np.random.default_rng(cfg.seed)
+        self.params_vec = None       # (K, P) current OU params
+        self.init_ou_params = None   # (K, P) k-means-fit OU params
+        self.means_ = None           # (K, F)
+        self.covars_ = None          # (K, F, F)
+        self.labels_local = None     # list of (H, W) warm-start label grids
+
+    # ------------------------------------------------------------------
+    # initialization (reference `_init`, phylo_hmrf.py:205-264)
+    # ------------------------------------------------------------------
+
+    def flat_values(self) -> np.ndarray:
+        return np.concatenate([r.flat_values() for r in self.regions], axis=0)
+
+    def initialize(self):
+        cfg = self.cfg
+        X = self.flat_values()
+        K = self.n_states
+
+        key = jax.random.PRNGKey(cfg.seed)
+        centers, labels, _ = kmeans(key, jnp.asarray(X), K)
+        centers = np.asarray(centers, np.float64)
+        labels = np.asarray(labels)
+
+        self.means_ = centers.copy()
+        cv = np.cov(X.T) + cfg.min_covar * np.eye(self.n_features)
+        self.covars_ = np.tile(cv, (K, 1, 1))
+
+        self.init_ou_params = self._fit_init_params(X, labels, centers)
+        self.params_vec = self.init_ou_params.copy()
+
+        # warm-start label grids per region
+        self.labels_local = []
+        for i, r in enumerate(self.regions):
+            flat = labels[self.offsets[i]:self.offsets[i + 1]]
+            self.labels_local.append(r.labels_to_grid(flat))
+        self.init_labels = labels.copy()
+
+    def _fit_init_params(self, X, labels, centers) -> np.ndarray:
+        """Per-cluster OU fits (reference `_init_ou_param` + `_ou_optimize_init`,
+        phylo_hmrf.py:184-203, 1427-1498), vmapped over clusters."""
+        cfg = self.cfg
+        K = self.n_states
+        F = self.n_features
+        P = self.n_params
+        xbar = np.zeros((K, F))
+        xxT = np.zeros((K, F, F))
+        occupied = np.zeros(K, dtype=bool)
+        for c in range(K):
+            sel = labels == c
+            if sel.sum() == 0:
+                continue
+            occupied[c] = True
+            Xc = X[sel]
+            xbar[c] = Xc.mean(0)
+            xxT[c] = Xc.T @ Xc / Xc.shape[0]
+
+        params = self._rng.random((K, P))  # reference ctor random init (:109)
+        guesses = np.stack([
+            propagate_mean_guess(centers[c], self.tree, self._rng,
+                                 cfg.initial_magnitude, P)
+            for c in range(K)])
+
+        for attempt in range(cfg.mstep_retries):
+            solved, _ = self._init_fit_jit(
+                jnp.asarray(guesses, jnp.float32), jnp.asarray(xbar, jnp.float32),
+                jnp.asarray(xxT, jnp.float32))
+            solved = np.asarray(solved, np.float64)
+            bad = []
+            for c in range(K):
+                if not occupied[c]:
+                    continue
+                if check_params(solved[c], self.tree.n_nodes) > 0:
+                    params[c] = solved[c]
+                else:
+                    bad.append(c)
+            if not bad:
+                break
+            for c in bad:
+                guesses[c] = propagate_mean_guess(
+                    centers[c], self.tree, self._rng, cfg.initial_magnitude, P)
+        else:
+            for c in bad:
+                # reference fallback: tree-propagated random guess
+                params[c] = propagate_mean_guess(
+                    centers[c], self.tree, self._rng, cfg.initial_magnitude, P)
+        return params
+
+    # ------------------------------------------------------------------
+    # E-step
+    # ------------------------------------------------------------------
+
+    def estep(self, means, covars, warm_grids):
+        """Run the E-step over all buckets.
+
+        Returns (label_grids per region, stats (post, obs, obs2),
+        costs (n_regions, 4), n_valid (n_regions,)).
+        """
+        cfg = self.cfg
+        K, F = self.n_states, self.n_features
+        post = np.zeros(K)
+        obs = np.zeros((K, F))
+        obs2 = np.zeros((K, F, F))
+        costs = np.zeros((len(self.regions), 4))
+        nvalid = np.zeros(len(self.regions))
+        label_grids = [None] * len(self.regions)
+
+        means_j = jnp.asarray(means, jnp.float32)
+        covars_j = jnp.asarray(covars, jnp.float32)
+
+        for shape, (idxs, img, mask, dmaps) in self._bucket_arrays.items():
+            warm = jnp.asarray(np.stack([warm_grids[i] for i in idxs]))
+            if cfg.labeler == "swap":
+                labels = self._swap_labels(idxs, means, covars, warm_grids)
+                labels_j = jnp.asarray(np.stack(labels))
+                (p, o, o2), cv, nv = self._finish_jit(
+                    img, mask, dmaps, labels_j, means_j, covars_j)
+                out_labels = labels
+            else:
+                labels_j, (p, o, o2), cv, nv = self._estep_jit(
+                    img, mask, dmaps, warm, means_j, covars_j)
+                out_labels = np.asarray(labels_j)
+            post += np.asarray(p, np.float64)
+            obs += np.asarray(o, np.float64)
+            obs2 += np.asarray(o2, np.float64)
+            cv = np.asarray(cv, np.float64)
+            nv = np.asarray(nv, np.float64)
+            for bi, ri in enumerate(idxs):
+                costs[ri] = cv[bi]
+                nvalid[ri] = nv[bi]
+                label_grids[ri] = np.asarray(out_labels[bi])
+        return label_grids, (post, obs, obs2), costs, nvalid
+
+    def _swap_labels(self, idxs, means, covars, warm_grids):
+        """Exact alpha-beta-swap labeling on the host (CPU backend)."""
+        from phylo_hmrf_tpu import native
+        from scipy.stats import multivariate_normal
+
+        out = []
+        for i in idxs:
+            r = self.regions[i]
+            X = r.flat_values().astype(np.float64)
+            logprob = np.stack([
+                multivariate_normal(means[c], covars[c],
+                                    allow_singular=True).logpdf(X)
+                for c in range(self.n_states)], axis=1)
+            edges = flat_edge_list(r, self.cfg.num_neighbor)
+            w = np.exp(-self.cfg.beta1 * edges[:, 2])
+            warm_flat = r.labels_to_flat(warm_grids[i]).astype(np.int32)
+            labels = native.potts_swap(
+                edges[:, :2].astype(np.int64), w, -logprob, self.cfg.beta,
+                warm_flat, self.cfg.swap_max_cycles)
+            out.append(r.labels_to_grid(labels))
+        return out
+
+    # ------------------------------------------------------------------
+    # M-step (reference `_do_mstep` + `_ou_optimize2`, phylo_hmrf.py:1500,1327)
+    # ------------------------------------------------------------------
+
+    def _blend_guess(self) -> np.ndarray:
+        """Reference initial-guess blend (`phylo_hmrf.py:1368-1380`)."""
+        cfg = self.cfg
+        K, P, n1 = self.n_states, self.n_params, self.tree.n_nodes
+        if cfg.initial_mode == 1:
+            rand = 2.0 * self._rng.random((K, P)) - 1.0
+            rand[:, :P - n1] = self._rng.random((K, P - n1))
+            rand = cfg.initial_magnitude * rand
+        else:
+            rand = cfg.initial_magnitude * self._rng.random((K, P))
+        a1, a2 = cfg.initial_weight, cfg.initial_weight1
+        return (a1 * self.init_ou_params + a2 * self.params_vec
+                + (1.0 - a1 - a2) * rand)
+
+    def mstep(self, stats) -> np.ndarray:
+        cfg = self.cfg
+        post, obs, obs2 = stats
+        params = self.params_vec.copy()
+        guess = self._blend_guess()
+        pending = np.ones(self.n_states, dtype=bool)
+        for attempt in range(cfg.mstep_retries):
+            solved, _ = self._mstep_jit(
+                jnp.asarray(guess, jnp.float32),
+                jnp.asarray(post, jnp.float32), jnp.asarray(obs, jnp.float32),
+                jnp.asarray(obs2, jnp.float32))
+            solved = np.asarray(solved, np.float64)
+            still_bad = np.zeros_like(pending)
+            for c in range(self.n_states):
+                if not pending[c]:
+                    continue
+                if check_params(solved[c], self.tree.n_nodes) > 0:
+                    params[c] = solved[c]
+                else:
+                    still_bad[c] = True
+            pending = still_bad
+            if not pending.any():
+                break
+            guess = self._blend_guess()
+        if pending.any():
+            # reference fallback: keep the k-means-fit init params (:1348)
+            params[pending] = self.init_ou_params[pending]
+
+        self.params_vec = params
+        means, covars = self._moments_jit(jnp.asarray(params, jnp.float32))
+        self.means_ = np.asarray(means, np.float64)
+        self.covars_ = (np.asarray(covars, np.float64)
+                        + cfg.min_covar * np.eye(self.n_features))
+        return params
+
+    # ------------------------------------------------------------------
+    # EM driver (reference `fit_accumulate_test`, base.py:301-455)
+    # ------------------------------------------------------------------
+
+    def fit(self, verbose: bool = True, callback=None) -> FitResult:
+        cfg = self.cfg
+        if self.params_vec is None:
+            t0 = time.time()
+            self.initialize()
+            if verbose:
+                print(f"[init] k-means + OU init in {time.time() - t0:.2f}s")
+
+        ratio_vec = self.len_vec[:, 0].astype(np.float64) / self.n_samples
+        prev = np.array([1e-3, 1e-3, 1e-3])   # pairwise, unary, cost1 "pre"
+        cost_rows = []
+        params_list = []
+        min_cost = [0, 1000.0]
+        min_cost1 = [0, 1000.0]
+        params_best = self.params_vec.copy()
+        params_best1 = self.params_vec.copy()
+        t_label_grids = list(self.labels_local)
+        n_iters = 0
+
+        for it in range(cfg.max_iter):
+            t0 = time.time()
+            label_grids, stats, costs, _ = self.estep(
+                self.means_, self.covars_, self.labels_local)
+            t1 = time.time()
+
+            pairwise_cost = float(costs[:, 0] @ ratio_vec)
+            pairwise_cost_n = float(costs[:, 1] @ ratio_vec)
+            unary_cost = float(costs[:, 2] @ ratio_vec)
+            cost1 = float(costs[:, 3] @ ratio_vec)
+
+            d1 = abs((pairwise_cost - prev[0]) / prev[0])
+            d2 = abs((unary_cost - prev[1]) / prev[1])
+            d3 = abs((cost1 - prev[2]) / prev[2])
+            prev = np.array([pairwise_cost, unary_cost, cost1])
+
+            cost_rows.append([it, pairwise_cost, unary_cost, cost1])
+            params_list.append(self.params_vec.copy())
+            n_iters = it + 1
+
+            if verbose:
+                print(f"[iter {it:3d}] pairwise={pairwise_cost:.6f} "
+                      f"unary={unary_cost:.6f} cost1={cost1:.6f} "
+                      f"estep={t1 - t0:.2f}s")
+
+            if cost1 < min_cost[1]:
+                min_cost = [it, cost1]
+                params_best = self.params_vec.copy()
+                self.labels_local = label_grids   # warm start from best
+            if cost1 < min_cost1[1] and it >= cfg.best_from_iter:
+                min_cost1 = [it, cost1]
+                params_best1 = self.params_vec.copy()
+                t_label_grids = label_grids
+
+            if callback is not None:
+                callback(self, it, cost_rows[-1], label_grids)
+
+            if (((d1 < cfg.threshold and d2 < cfg.threshold)
+                 or d3 < cfg.threshold) and it > cfg.min_iter):
+                break
+            if it - min_cost1[0] > cfg.patience:
+                break
+
+            t2 = time.time()
+            self.mstep(stats)
+            if verbose:
+                print(f"[iter {it:3d}] mstep={time.time() - t2:.2f}s")
+
+        # restore: params_vec1 = best-from-3; moments from overall best
+        self.params_vec = params_best1.copy()
+        means, covars = self._moments_jit(
+            jnp.asarray(params_best, jnp.float32))
+        self.means_ = np.asarray(means, np.float64)
+        self.covars_ = (np.asarray(covars, np.float64)
+                        + cfg.min_covar * np.eye(self.n_features))
+
+        labels_flat = np.concatenate([
+            self.regions[i].labels_to_flat(t_label_grids[i])
+            for i in range(len(self.regions))])
+
+        return FitResult(
+            params_vec=params_best, params_vec1=params_best1,
+            params_list=np.asarray(params_list),
+            iter_id1=min_cost[0], iter_id2=min_cost1[0],
+            cost_vec=np.asarray(cost_rows), labels=labels_flat,
+            means=self.means_.copy(), covars=self.covars_.copy(),
+            n_iters=n_iters)
+
+    # ------------------------------------------------------------------
+    # inference-only path (reference `predict`, phylo_hmrf.py:470)
+    # ------------------------------------------------------------------
+
+    def predict(self) -> np.ndarray:
+        """MAP state labels for all samples under the current parameters."""
+        if self.means_ is None:
+            raise RuntimeError("model not initialized/fit")
+        warm = self.labels_local or [
+            np.zeros(r.shape, np.int32) for r in self.regions]
+        label_grids, _, _, _ = self.estep(self.means_, self.covars_, warm)
+        return np.concatenate([
+            self.regions[i].labels_to_flat(label_grids[i])
+            for i in range(len(self.regions))])

@@ -1,0 +1,86 @@
+"""K-means initialization — pure JAX (TPU-native stand-in for the reference's
+sklearn MiniBatchKMeans at `phylo_hmrf.py:234-240`; it only seeds the EM, so
+exactness vs sklearn is not required, determinism is)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _pairwise_sq_dists(X: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
+    """(N, F) x (K, F) -> (N, K) squared distances via the MXU."""
+    xx = jnp.sum(X * X, axis=1, keepdims=True)
+    cc = jnp.sum(C * C, axis=1)
+    xc = X @ C.T
+    return xx + cc[None, :] - 2.0 * xc
+
+
+def _kmeans_pp_init(key, X: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k-means++ seeding (on-device, O(N*K))."""
+    n = X.shape[0]
+    key, sub = jax.random.split(key)
+    first = jax.random.randint(sub, (), 0, n)
+    centers = jnp.zeros((k, X.shape[1]), X.dtype).at[0].set(X[first])
+
+    def body(i, carry):
+        centers, key, d2 = carry
+        last = jax.lax.dynamic_index_in_dim(centers, i - 1, keepdims=True)
+        d2 = jnp.minimum(d2, _pairwise_sq_dists(X, last)[:, 0])
+        key, sub = jax.random.split(key)
+        # sample proportional to squared distance
+        idx = jax.random.categorical(sub, jnp.log(d2 + 1e-12))
+        centers = centers.at[i].set(X[idx])
+        return centers, key, d2
+
+    d2 = jnp.full((n,), jnp.inf, X.dtype)
+    centers, _, _ = jax.lax.fori_loop(1, k, body, (centers, key, d2))
+    return centers
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_iters"))
+def _lloyd(key, X, centers0, k: int, n_iters: int):
+    def step(carry, _):
+        centers, _ = carry
+        d2 = _pairwise_sq_dists(X, centers)
+        assign = jnp.argmin(d2, axis=1)
+        onehot = jax.nn.one_hot(assign, k, dtype=X.dtype)
+        counts = onehot.sum(0)
+        sums = onehot.T @ X
+        new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
+        # keep old center for empty clusters
+        new_centers = jnp.where(counts[:, None] > 0, new_centers, centers)
+        return (new_centers, assign), None
+
+    (centers, assign), _ = jax.lax.scan(
+        step, (centers0, jnp.zeros(X.shape[0], jnp.int32)), None,
+        length=n_iters)
+    d2 = _pairwise_sq_dists(X, centers)
+    assign = jnp.argmin(d2, axis=1)
+    inertia = jnp.sum(jnp.min(d2, axis=1))
+    return centers, assign, inertia
+
+
+def kmeans(key, X: jnp.ndarray, k: int, n_iters: int = 100,
+           n_init: int = 4, pp_subsample: int = 65536):
+    """Best-of-n_init Lloyd k-means with k-means++ seeding.
+
+    Returns (centers (K, F), labels (N,), inertia). The ++ seeding runs on a
+    subsample for large N (seeding is O(N*K) per center pick otherwise).
+    """
+    n = X.shape[0]
+    best = None
+    for i in range(n_init):
+        key, k1, k2 = jax.random.split(key, 3)
+        if n > pp_subsample:
+            idx = jax.random.choice(k1, n, (pp_subsample,), replace=False)
+            seed_X = X[idx]
+        else:
+            seed_X = X
+        centers0 = _kmeans_pp_init(k2, seed_X, k)
+        centers, labels, inertia = _lloyd(key, X, centers0, k, n_iters)
+        if best is None or float(inertia) < float(best[2]):
+            best = (centers, labels, inertia)
+    return best

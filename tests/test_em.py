@@ -1,0 +1,90 @@
+"""End-to-end EM tests on synthetic Phylo-OU MRF data."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from phylo_hmrf_tpu.config import PhyloHMRFConfig
+from phylo_hmrf_tpu.data.regions import region_from_samples, flat_index_order
+from phylo_hmrf_tpu.models.hmrf import PhyloHMRF
+from phylo_hmrf_tpu.models.ou import ou_moments
+from phylo_hmrf_tpu.utils.metrics import best_match_accuracy
+
+
+def synth_problem(tree, rng, K=3, H0=24, noise=0.35):
+    """Blocky true label maps + OU-Gaussian emissions on two regions."""
+    params = rng.random((K, tree.n_params)) * 0.5 + 0.2
+    # spread the state optima so states are separable
+    n = tree.n_nodes
+    for c in range(K):
+        params[c, tree.n_params - n:] = 0.6 * c + 0.3
+    moments = [ou_moments(jnp.asarray(params[c]), tree) for c in range(K)]
+    means = np.stack([np.asarray(m) for m, _ in moments])
+    covs = np.stack([np.asarray(V) + 1e-3 * np.eye(tree.n_leaves)
+                     for _, V in moments])
+
+    regions, true_flat = [], []
+    for ridx, (h0, w0, is_diag) in enumerate(
+            [(H0, H0, True), (H0 // 2, H0, False)]):
+        ii, jj = np.indices((h0, w0))
+        lab = ((ii // 6 + jj // 6) % K).astype(np.int32)  # blocky pattern
+        rows, cols = flat_index_order(h0, w0, is_diag)
+        lab_flat = lab[rows, cols]
+        x = np.stack([rng.multivariate_normal(means[c], covs[c] * noise)
+                      for c in lab_flat]).astype(np.float32)
+        x = np.abs(x) + 0.05   # features are non-negative post-pipeline
+        regions.append(region_from_samples(
+            x, h0, w0, is_diag, pad_h=8, pad_w=8, region_id=ridx))
+        true_flat.append(lab_flat)
+    return params, means, covs, regions, np.concatenate(true_flat)
+
+
+def test_em_fits_synthetic(example_tree, rng):
+    tree = example_tree
+    K = 3
+    _, means, covs, regions, true = synth_problem(tree, rng, K=K)
+    cfg = PhyloHMRFConfig(n_states=K, max_iter=8, seed=1, min_iter=2,
+                          mstep_iters=80, pad_h=8, pad_w=8)
+    model = PhyloHMRF(tree, regions, cfg)
+    result = model.fit(verbose=False)
+
+    assert result.cost_vec.shape[1] == 4
+    assert result.n_iters >= 3
+    # cost1 must improve over the first iteration
+    assert result.cost_vec[-1, 3] <= result.cost_vec[0, 3] + 1e-6
+
+    acc = best_match_accuracy(result.labels, true)
+    assert acc > 0.9, acc
+
+    # restored moments close to the truth for the matched states
+    assert result.means.shape == (K, tree.n_leaves)
+    assert np.isfinite(result.covars).all()
+
+
+def test_em_len_vec_contract(example_tree, rng):
+    tree = example_tree
+    _, _, _, regions, _ = synth_problem(tree, rng)
+    model = PhyloHMRF(tree, regions, PhyloHMRFConfig(n_states=3))
+    lv = model.len_vec
+    assert lv.shape[1] == 10
+    # [n, start, stop, H0, W0, ...] with contiguous offsets
+    assert lv[0, 1] == 0
+    assert lv[0, 2] == lv[0, 0]
+    assert lv[1, 1] == lv[0, 2]
+    n_diag = 24 * 25 // 2
+    assert lv[0, 0] == n_diag
+    assert lv[0, 8] == 1 and lv[1, 8] == 0   # type flags
+
+
+def test_predict_matches_estep(example_tree, rng):
+    tree = example_tree
+    _, _, _, regions, true = synth_problem(tree, rng)
+    cfg = PhyloHMRFConfig(n_states=3, max_iter=3, seed=1, mstep_iters=40,
+                          pad_h=8, pad_w=8)
+    model = PhyloHMRF(tree, regions, cfg)
+    result = model.fit(verbose=False)
+    pred = model.predict()
+    assert pred.shape == result.labels.shape
+    # predict() re-runs the E-step under the restored params: should agree
+    # with the fit labels on the vast majority of pixels
+    assert (pred == result.labels).mean() > 0.8

@@ -1,0 +1,85 @@
+"""M-step optimizer tests: the vmapped boxed L-BFGS must recover OU moments
+from sufficient statistics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from phylo_hmrf_tpu.models.ou import ou_moments, ou_nll_stats
+from phylo_hmrf_tpu.ops.lbfgs import (
+    box_decode, box_encode, minimize_boxed, minimize_lbfgs)
+
+
+def test_box_roundtrip():
+    p = np.array([0.01, 0.5, 10.0, 99.9])
+    z = box_encode(jnp.asarray(p), 1e-16, 100.0)
+    p2 = box_decode(z, 1e-16, 100.0)
+    np.testing.assert_allclose(p2, p, rtol=1e-3)
+    assert np.isfinite(np.asarray(z)).all()
+    # values below the logit-clip floor saturate near the box edge
+    tiny = box_decode(box_encode(jnp.asarray(1e-10), 1e-16, 100.0),
+                      1e-16, 100.0)
+    assert 0 < float(tiny) <= 1e-3
+
+
+def test_lbfgs_quadratic():
+    A = jnp.asarray(np.diag([1.0, 4.0, 9.0]))
+    b = jnp.asarray([1.0, -2.0, 3.0])
+
+    def fn(x):
+        return 0.5 * x @ A @ x - b @ x
+
+    x, f = minimize_lbfgs(fn, jnp.zeros(3), 50)
+    np.testing.assert_allclose(x, np.linalg.solve(np.asarray(A), b),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_lbfgs_vmapped_rosenbrock():
+    def fn(x):
+        return (1 - x[0]) ** 2 + 100 * (x[1] - x[0] ** 2) ** 2
+
+    x0 = jnp.asarray(np.random.default_rng(0).random((6, 2)) * 0.5)
+    xs, fs = jax.vmap(lambda x: minimize_lbfgs(fn, x, 200))(x0)
+    np.testing.assert_allclose(xs, np.ones((6, 2)), atol=1e-2)
+
+
+def test_boxed_respects_bounds():
+    def fn(x):
+        return jnp.sum((x + 5.0) ** 2)   # unconstrained min at -5
+
+    x, f = minimize_boxed(fn, jnp.asarray([1.0, 2.0]), 0.5, 10.0, 100)
+    assert (np.asarray(x) >= 0.5 - 1e-6).all()
+    np.testing.assert_allclose(x, [0.5, 0.5], atol=1e-3)
+
+
+def test_mstep_recovers_moments(example_tree, rng):
+    """Fit OU params to stats generated from a known state: the recovered
+    moments (not the raw params, which are not identifiable) must match."""
+    tree = example_tree
+    P = tree.n_params
+    true = rng.random(P) * 0.8 + 0.3
+    m_true, V_true = ou_moments(jnp.asarray(true), tree)
+    m_true, V_true = np.asarray(m_true, np.float64), np.asarray(V_true, np.float64)
+    V_full = V_true + 1e-3 * np.eye(4)
+
+    n = 200000
+    X = rng.multivariate_normal(m_true, V_full, size=n)
+    post_c = float(n)
+    obs_c = X.sum(0)
+    obs2_c = X.T @ X
+
+    def fn(p):
+        return ou_nll_stats(p, post_c, jnp.asarray(obs_c, jnp.float32),
+                            jnp.asarray(obs2_c, jnp.float32), tree,
+                            float(n), 0.0, 1e-3)
+
+    guess = jnp.asarray(rng.random(P) * 0.5 + 0.2, jnp.float32)
+    p_hat, f_hat = minimize_boxed(fn, guess, 1e-16, 100.0, 200)
+    f_true = fn(jnp.asarray(true, jnp.float32))
+    assert float(f_hat) <= float(f_true) + 1e-2
+
+    m_hat, V_hat = ou_moments(p_hat, tree)
+    np.testing.assert_allclose(np.asarray(m_hat), m_true, atol=0.05)
+    np.testing.assert_allclose(np.asarray(V_hat) + 1e-3 * np.eye(4), V_full,
+                               atol=0.08)
