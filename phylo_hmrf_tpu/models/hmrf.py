@@ -112,10 +112,11 @@ class PhyloHMRF:
     """Phylo-HMRF model over a set of region grids."""
 
     def __init__(self, tree: PhyloTree, regions: Sequence[RegionGrid],
-                 config: PhyloHMRFConfig | None = None):
+                 config: PhyloHMRFConfig | None = None, mesh=None):
         self.tree = tree
         self.regions = list(regions)
         self.cfg = config or PhyloHMRFConfig()
+        self.mesh = mesh
         cfg = self.cfg
 
         self.n_states = cfg.n_states
@@ -136,23 +137,42 @@ class PhyloHMRF:
             r.len_vec_row(int(self.offsets[i]), int(self.offsets[i + 1]))
             for i, r in enumerate(self.regions)], dtype=np.int64)
 
-        # shape buckets for jitted batching
+        # shape buckets for jitted batching; with a mesh, bucket leading axes
+        # are padded to the mesh size and placed region-sharded on devices
+        self._n_shards = (int(self.mesh.devices.size)
+                          if self.mesh is not None else 1)
         self._buckets = {}
         for idx, r in enumerate(self.regions):
             self._buckets.setdefault(r.shape, []).append(idx)
         self._bucket_arrays = {}
         for shape, idxs in self._buckets.items():
-            img = jnp.asarray(np.stack([self.regions[i].img for i in idxs]))
-            mask = jnp.asarray(np.stack([self.regions[i].mask for i in idxs]))
-            dmaps = jnp.asarray(
-                np.stack([self.regions[i].dmaps for i in idxs]))
+            img = np.stack([self.regions[i].img for i in idxs])
+            mask = np.stack([self.regions[i].mask for i in idxs])
+            dmaps = np.stack([self.regions[i].dmaps for i in idxs])
+            if self._n_shards > 1:
+                from phylo_hmrf_tpu.parallel.sharding import (
+                    device_put_bucket, pad_bucket_to_devices)
+                img, mask, dmaps, _ = pad_bucket_to_devices(
+                    img, mask, dmaps, self._n_shards)
+                img, mask, dmaps = device_put_bucket(self.mesh, img, mask,
+                                                     dmaps)
+            else:
+                img, mask, dmaps = (jnp.asarray(img), jnp.asarray(mask),
+                                    jnp.asarray(dmaps))
             self._bucket_arrays[shape] = (idxs, img, mask, dmaps)
 
         labeler = cfg.labeler if cfg.labeler != "swap" else "mf_icm"
-        self._estep_jit = jax.jit(functools.partial(
-            _estep_bucket, beta=cfg.beta, beta1=cfg.beta1,
-            weighted_pp=(cfg.estimate_type == 3), labeler=labeler,
-            max_sweeps=cfg.icm_max_sweeps))
+        if self._n_shards > 1:
+            from phylo_hmrf_tpu.parallel.sharding import make_sharded_estep
+            self._estep_jit = make_sharded_estep(
+                self.mesh, beta=cfg.beta, beta1=cfg.beta1,
+                weighted_pp=(cfg.estimate_type == 3), labeler=labeler,
+                max_sweeps=cfg.icm_max_sweeps)
+        else:
+            self._estep_jit = jax.jit(functools.partial(
+                _estep_bucket, beta=cfg.beta, beta1=cfg.beta1,
+                weighted_pp=(cfg.estimate_type == 3), labeler=labeler,
+                max_sweeps=cfg.icm_max_sweeps))
         self._finish_jit = jax.jit(functools.partial(
             _finish_bucket, beta=cfg.beta, beta1=cfg.beta1,
             weighted_pp=(cfg.estimate_type == 3)))
@@ -291,10 +311,25 @@ class PhyloHMRF:
         covars_j = jnp.asarray(covars, jnp.float32)
 
         for shape, (idxs, img, mask, dmaps) in self._bucket_arrays.items():
-            warm = jnp.asarray(np.stack([warm_grids[i] for i in idxs]))
+            warm_np = np.stack([warm_grids[i] for i in idxs])
+            r_pad = img.shape[0] - warm_np.shape[0]
+            if r_pad > 0:   # device-padding regions (all-masked, ignored)
+                warm_np = np.concatenate(
+                    [warm_np, np.zeros((r_pad,) + warm_np.shape[1:],
+                                       warm_np.dtype)], axis=0)
+            warm = jnp.asarray(warm_np)
+            if self._n_shards > 1:
+                from jax.sharding import NamedSharding, PartitionSpec
+                warm = jax.device_put(
+                    warm, NamedSharding(self.mesh, PartitionSpec("data")))
             if cfg.labeler == "swap":
                 labels = self._swap_labels(idxs, means, covars, warm_grids)
-                labels_j = jnp.asarray(np.stack(labels))
+                labels_np = np.stack(labels)
+                if r_pad > 0:
+                    labels_np = np.concatenate(
+                        [labels_np, np.zeros((r_pad,) + labels_np.shape[1:],
+                                             labels_np.dtype)], axis=0)
+                labels_j = jnp.asarray(labels_np)
                 (p, o, o2), cv, nv = self._finish_jit(
                     img, mask, dmaps, labels_j, means_j, covars_j)
                 out_labels = labels

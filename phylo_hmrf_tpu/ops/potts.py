@@ -127,6 +127,8 @@ def posteriors_and_costs(logprob: jnp.ndarray, labels: jnp.ndarray,
     """
     m = mask.astype(logprob.dtype)
     n_valid = jnp.sum(m)
+    # all-false masks occur in device-padding regions; keep costs finite
+    n_valid_safe = jnp.maximum(n_valid, 1.0)
 
     posteriors = jax.nn.softmax(logprob - pp, axis=-1)
     pp_norm = jax.nn.softmax(-pp, axis=-1)
@@ -136,10 +138,10 @@ def posteriors_and_costs(logprob: jnp.ndarray, labels: jnp.ndarray,
     lp_map = jnp.take_along_axis(logprob, sel, axis=-1)[..., 0]
     ppn_map = jnp.take_along_axis(pp_norm, sel, axis=-1)[..., 0]
 
-    pairwise_cost = jnp.sum(jnp.where(mask, pp_map, 0.0)) / n_valid
-    unary_cost = -jnp.sum(jnp.where(mask, lp_map, 0.0)) / n_valid
+    pairwise_cost = jnp.sum(jnp.where(mask, pp_map, 0.0)) / n_valid_safe
+    unary_cost = -jnp.sum(jnp.where(mask, lp_map, 0.0)) / n_valid_safe
     pairwise_cost_nrm = -jnp.sum(
-        jnp.where(mask, jnp.log(ppn_map + small_eps), 0.0)) / n_valid
+        jnp.where(mask, jnp.log(ppn_map + small_eps), 0.0)) / n_valid_safe
     cost1 = unary_cost + pairwise_cost_nrm
     cost_vec = jnp.stack(
         [pairwise_cost, pairwise_cost_nrm, unary_cost, cost1])

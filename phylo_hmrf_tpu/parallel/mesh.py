@@ -1,0 +1,27 @@
+"""Device-mesh helpers."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+
+def make_mesh(mesh_shape=None, axis_names=("data",)) -> Mesh:
+    """Build a Mesh over the available devices.
+
+    mesh_shape None/empty -> 1D mesh over all devices on axis `data`.
+    """
+    devices = np.asarray(jax.devices())
+    if not mesh_shape:
+        mesh_shape = (len(devices),)
+    n = int(np.prod(mesh_shape))
+    if n > len(devices):
+        raise ValueError(f"mesh {mesh_shape} needs {n} devices, "
+                         f"have {len(devices)}")
+    dev = devices[:n].reshape(mesh_shape)
+    return Mesh(dev, axis_names[:len(mesh_shape)])
+
+
+def single_device_mesh() -> Mesh:
+    return Mesh(np.asarray(jax.devices()[:1]), ("data",))
