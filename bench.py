@@ -1,0 +1,234 @@
+"""Benchmark: chr21-scale EM iteration on TPU vs the CPU reference path.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Problem: one chr21-like diagonal synteny region (653x653 bins at 50kb ->
+~213k upper-triangle samples, see BASELINE.md), 4 species, 10 states.
+
+* TPU path: the production jitted E-step (batched-Cholesky unaries +
+  annealed-mean-field/ICM labeling + posteriors + stats) and the vmapped
+  L-BFGS M-step. Median per-EM-iteration wall time over `--iters` runs.
+* CPU reference path: exact alpha-beta-swap graph cuts (C++, the reference's
+  E-step optimizer), vectorized numpy posterior/stat pass (generous to the
+  baseline: the reference's per-sample Python loops are far slower), and
+  per-state SciPy SLSQP M-step — the reference's algorithm stack on one CPU.
+  Measured once and cached in benchmarks/cpu_baseline.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, "benchmarks", "cpu_baseline.json")
+
+H0 = 653          # chr21 synteny 14.0-46.7Mb at 50kb (BASELINE.md)
+K = 10
+F = 4
+SEED = 0
+
+
+def build_problem():
+    from phylo_hmrf_tpu.data.regions import (
+        flat_index_order, region_from_samples)
+    from phylo_hmrf_tpu.models.ou import ou_moments
+    from phylo_hmrf_tpu.tree import build_tree
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(SEED)
+    tree = build_tree([(0, 1), (1, 2), (1, 3), (3, 4), (4, 5), (4, 6),
+                       (3, 7)], branch_lengths=[0, 32, 20, 6, 6, 6, 12])
+    params = rng.random((K, tree.n_params)) * 0.5 + 0.2
+    for c in range(K):
+        params[c, tree.n_params - tree.n_nodes:] = 0.25 * c + 0.2
+    means = np.zeros((K, F))
+    covs = np.zeros((K, F, F))
+    for c in range(K):
+        m, V = ou_moments(jnp.asarray(params[c]), tree)
+        means[c] = np.asarray(m)
+        covs[c] = np.asarray(V) + 1e-3 * np.eye(F)
+
+    ii, jj = np.indices((H0, H0))
+    true_lab = ((ii // 24 + jj // 24) % K).astype(np.int32)
+    rows, cols = flat_index_order(H0, H0, True)
+    lab_flat = true_lab[rows, cols]
+    # sample emissions per state via one Cholesky per state
+    x = np.empty((lab_flat.shape[0], F), np.float32)
+    for c in range(K):
+        sel = lab_flat == c
+        Lc = np.linalg.cholesky(covs[c] * 0.5)
+        x[sel] = means[c] + rng.standard_normal((sel.sum(), F)) @ Lc.T
+    x = np.abs(x).astype(np.float32) + 0.05
+    region = region_from_samples(x, H0, H0, True, pad_h=8, pad_w=128)
+    warm = lab_flat.copy()
+    flip = rng.random(warm.shape[0]) < 0.15
+    warm[flip] = rng.integers(0, K, flip.sum())
+    return tree, region, means, covs, warm, params
+
+
+def bench_tpu(tree, region, means, covs, warm, iters):
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from phylo_hmrf_tpu.models.hmrf import _estep_bucket
+    from phylo_hmrf_tpu.models.ou import ou_nll_stats
+    from phylo_hmrf_tpu.ops.lbfgs import minimize_boxed
+
+    img = jnp.asarray(region.img[None])
+    mask = jnp.asarray(region.mask[None])
+    dmaps = jnp.asarray(region.dmaps[None])
+    warm_g = jnp.asarray(region.labels_to_grid(warm)[None])
+    means_j = jnp.asarray(means, jnp.float32)
+    covs_j = jnp.asarray(covs, jnp.float32)
+
+    estep = jax.jit(functools.partial(
+        _estep_bucket, beta=1.0, beta1=0.5, weighted_pp=False,
+        labeler="mf_icm", max_sweeps=60))
+
+    n_samples = float(region.n_samples)
+
+    def solve_state(p0, post_c, obs_c, obs2_c):
+        def fn(p):
+            return ou_nll_stats(p, post_c, obs_c, obs2_c, tree, n_samples,
+                                1.0, 1e-3)
+        return minimize_boxed(fn, p0, 1e-16, 100.0, 150)
+
+    mstep = jax.jit(jax.vmap(solve_state))
+    rng = np.random.default_rng(1)
+    p0 = jnp.asarray(rng.random((K, tree.n_params)), jnp.float32)
+
+    def em_iter():
+        labels, (post, obs, obs2), costs, nv = estep(
+            img, mask, dmaps, warm_g, means_j, covs_j)
+        params, f = mstep(p0, post, obs, obs2)
+        jax.block_until_ready((labels, params))
+        return labels
+
+    em_iter()  # warmup/compile
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        em_iter()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_cpu(tree, region, means, covs, warm):
+    """One reference-faithful EM iteration on the CPU."""
+    from scipy.optimize import minimize as sp_minimize
+    from scipy.stats import multivariate_normal
+    from phylo_hmrf_tpu import native
+    from phylo_hmrf_tpu.data.regions import flat_edge_list
+
+    t0 = time.perf_counter()
+    X = region.flat_values().astype(np.float64)
+    logprob = np.stack([
+        multivariate_normal(means[c], covs[c]).logpdf(X)
+        for c in range(K)], axis=1)
+    edges = flat_edge_list(region)
+    w = np.exp(-0.5 * edges[:, 2])
+    ei = edges[:, :2].astype(np.int64)
+    labels = native.potts_swap(ei, w, -logprob, 1.0, warm.astype(np.int32),
+                               5000)
+    # posterior pass (vectorized numpy scatter — generous to the baseline)
+    n = X.shape[0]
+    pp = np.zeros((n, K))
+    Vp = 1.0 * (1 - np.eye(K))
+    np.add.at(pp, ei[:, 0], Vp[:, labels[ei[:, 1]]].T)
+    np.add.at(pp, ei[:, 1], Vp[:, labels[ei[:, 0]]].T)
+    wp = np.exp(logprob - pp)
+    gamma = wp / wp.sum(1, keepdims=True)
+    post = gamma.sum(0)
+    obs = gamma.T @ X
+    obs2 = np.einsum("nk,nf,ng->kfg", gamma, X, X)
+    t_estep = time.perf_counter() - t0
+
+    # M-step: per-state SLSQP on the same OU objective (reference
+    # phylo_hmrf.py:1383: SLSQP, tol=1e-6, box constraints)
+    def _ou_moments_np(p, tree):
+        nn = tree.n_nodes
+        B = nn - 1
+        alpha, lam, theta = p[1:1 + B], p[1 + B:1 + 2 * B], p[1 + 2 * B:]
+        mean, var = np.zeros(nn), np.zeros(nn)
+        mean[0], var[0] = theta[0], p[0]
+        for node in tree.topo_order[1:]:
+            node = int(node)
+            a = alpha[node - 1]
+            e = np.exp(-a)
+            ratio = lam[node - 1] / (2 * a) if a > 1e-7 else 0.0
+            par = int(tree.parent[node])
+            mean[node] = mean[par] * e + theta[node] * (1 - e)
+            var[node] = ratio * (1 - e ** 2) + var[par] * e ** 2
+        L = tree.n_leaves
+        cov = np.zeros((L, L))
+        alpha_full = np.concatenate([[0.0], alpha])
+        for k2 in range(tree.pair_list.shape[0]):
+            mrca = tree.pair_list[k2, 2]
+            s = np.exp(-(tree.A2[k2] * alpha_full).sum()) * var[mrca]
+            i, j = tree.pair_rows[k2], tree.pair_cols[k2]
+            cov[i, j] = cov[j, i] = s
+        for i, leaf in enumerate(tree.leaf_nodes):
+            cov[i, i] = var[leaf]
+        return mean[tree.leaf_nodes], cov
+
+    def nll(p, c):
+        m, cov = _ou_moments_np(p, tree)
+        V = cov + 1e-3 * np.eye(F)
+        obsmean = np.outer(obs[c], m)
+        Sn = obs2[c] - obsmean - obsmean.T + post[c] * np.outer(m, m)
+        det = np.linalg.det(V)
+        if det <= 0 or not np.isfinite(det):
+            return 1e10
+        return (post[c] * np.log(det + 1e-16) / n
+                + np.sum(np.linalg.inv(V) * Sn) / n
+                + 1.0 / np.sqrt(n) * p @ p)
+
+    t1 = time.perf_counter()
+    rng = np.random.default_rng(1)
+    cons = ({"type": "ineq", "fun": lambda x: x - 1e-16},
+            {"type": "ineq", "fun": lambda x: -x + 100})
+    for c in range(K):
+        guess = rng.random(tree.n_params)
+        sp_minimize(nll, guess, args=(c,), method="SLSQP", constraints=cons,
+                    tol=1e-6)
+    t_mstep = time.perf_counter() - t1
+    return t_estep + t_mstep, t_estep, t_mstep
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--remeasure-cpu", action="store_true")
+    args = ap.parse_args()
+
+    tree, region, means, covs, warm, _ = build_problem()
+
+    if os.path.exists(CACHE) and not args.remeasure_cpu:
+        with open(CACHE) as f:
+            cpu = json.load(f)
+    else:
+        total, te, tm = bench_cpu(tree, region, means, covs, warm)
+        cpu = {"total_s": total, "estep_s": te, "mstep_s": tm,
+               "H0": H0, "K": K, "F": F}
+        os.makedirs(os.path.dirname(CACHE), exist_ok=True)
+        with open(CACHE, "w") as f:
+            json.dump(cpu, f, indent=1)
+
+    tpu_s = bench_tpu(tree, region, means, covs, warm, args.iters)
+    speedup = cpu["total_s"] / tpu_s
+    print(json.dumps({
+        "metric": "chr21_50kb_em_iteration_time",
+        "value": round(tpu_s, 4),
+        "unit": "s",
+        "vs_baseline": round(speedup, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Command-line driver — flag-compatible with the reference
+(`python phylo_hmrf.py [opts]`, reference phylo_hmrf.py:1531-1761).
+
+Canonical example run (reference README.md:51):
+    python -m phylo_hmrf_tpu.cli -n 20 -r 1 --reload 0 --chromvec 21,22 \
+        --miter 100 -p example_input --output out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="Phylo-HMRF state estimation (TPU-native)")
+    a = p.add_argument
+    a("-n", "--num_states", default="10")
+    a("-f", "--chromosome", default="1")
+    a("-p", "--root_path", default=".")
+    a("-r", "--run_id", default="0")
+    a("-c", "--cons_param", default="1")
+    a("-t", "--method_mode", default="1")
+    a("-d", "--initial_mode", default="0")
+    a("-i", "--initial_weight", default="0.3")
+    a("-k", "--initial_weight1", default="0.1")
+    a("-j", "--initial_magnitude", default="1")
+    a("-w", "--filter_sigma", default="0.25")
+    a("-b", "--beta", default="1")
+    a("--beta1", default="0.5")
+    a("--num_neighbor", default="8")
+    a("--filter_mode", default="0")
+    a("-e", "--threshold", default="0.001")
+    a("-g", "--estimate_type", default="0")
+    a("-q", "--annotation", default="test")
+    a("--dtype", default="0", help="diagonal type")
+    a("--reload", dest="reload_mode", default="0")
+    a("--quantile", default="1")
+    a("--miter", default="60")
+    a("--resolution", default="50000")
+    a("--ref_species", default="hg38")
+    a("--chromvec", default="1")
+    a("--output", default=".")
+    # TPU-native extensions
+    a("--labeler", default="mf_icm", choices=["mf_icm", "icm", "swap"])
+    a("--seed", default="0")
+    a("--n_devices", default="0", help="0 = all available devices")
+    a("--checkpoint", default="", help="EM checkpoint file; enables resume")
+    a("--n_workers", default="0", help="data-loading process pool size")
+    return p.parse_args(argv)
+
+
+def run(opts) -> str:
+    from phylo_hmrf_tpu.config import PhyloHMRFConfig
+    from phylo_hmrf_tpu.data.contacts import quantile_contact_vec, \
+        x_max_from_quantiles
+    from phylo_hmrf_tpu.data.pipeline import (load_cache, load_dataset,
+                                              save_cache)
+    from phylo_hmrf_tpu.models.hmrf import PhyloHMRF
+    from phylo_hmrf_tpu.tree import load_tree
+    from phylo_hmrf_tpu.utils.io import save_estimate
+
+    data_path = opts.root_path
+    cfg = PhyloHMRFConfig(
+        n_states=int(opts.num_states),
+        beta=float(opts.beta), beta1=float(opts.beta1),
+        cons_param=float(opts.cons_param),
+        estimate_type=int(opts.estimate_type),
+        initial_mode=int(opts.initial_mode),
+        initial_weight=float(opts.initial_weight),
+        initial_weight1=float(opts.initial_weight1),
+        initial_magnitude=float(opts.initial_magnitude),
+        max_iter=int(opts.miter), threshold=float(opts.threshold),
+        resolution=int(opts.resolution),
+        num_neighbor=int(opts.num_neighbor),
+        filter_mode=int(opts.filter_mode),
+        filter_sigma=float(opts.filter_sigma),
+        diagonal_type=int(opts.dtype),
+        labeler=opts.labeler, seed=int(opts.seed),
+        run_id=int(opts.run_id), output_path=opts.output,
+        annotation=opts.annotation)
+
+    tree = load_tree(os.path.join(data_path, "edge.1.txt"),
+                     os.path.join(data_path, "branch_length.1.txt"),
+                     os.path.join(data_path, "species_name.1.txt"))
+    with open(os.path.join(data_path, "path_list.txt")) as f:
+        paths = [line.strip() for line in f if line.strip()]
+    # paths in path_list.txt may be relative to the data dir's parent
+    paths = [p if os.path.isabs(p) or os.path.exists(p)
+             else os.path.join(os.path.dirname(data_path.rstrip("/")) or ".",
+                               p)
+             for p in paths]
+    species = list(tree.species)
+
+    if opts.chromvec == "-1":
+        chrom_vec = list(range(1, 23))
+    else:
+        chrom_vec = [int(c) for c in opts.chromvec.split(",")]
+
+    ref_filename = os.path.join(data_path, f"{opts.ref_species}.chrom.sizes")
+
+    # quantile normalization constant (reference phylo_hmrf.py:1648-1664)
+    x_max = None
+    qfile = "chrom_quantile_test.txt"
+    if int(opts.quantile) == 0 and os.path.exists(qfile):
+        m_vec = np.loadtxt(qfile, delimiter="\t")
+        x_max = float(np.median(m_vec[:, 6]))
+    else:
+        m_vec = quantile_contact_vec(chrom_vec, cfg.resolution, ref_filename,
+                                     paths, species, cfg.legacy_bin_count)
+        np.savetxt(qfile, m_vec, fmt="%.4f", delimiter="\t")
+        x_max = x_max_from_quantiles(m_vec)
+    print(f"x_max = {x_max}")
+
+    regions = None
+    if int(opts.reload_mode) == 1:
+        regions = load_cache(opts.output, cfg)
+        if regions is None:
+            print("cache missing, recomputing")
+    if regions is None:
+        regions, _ = load_dataset(chrom_vec, cfg, ref_filename, paths,
+                                  species, data_path, x_max,
+                                  n_workers=int(opts.n_workers))
+        save_cache(regions, opts.output, cfg)
+
+    mesh = None
+    import jax
+    n_dev = int(opts.n_devices) or len(jax.devices())
+    if n_dev > 1:
+        from phylo_hmrf_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh((n_dev,))
+
+    model = PhyloHMRF(tree, regions, cfg, mesh=mesh)
+    ckpt_path = opts.checkpoint or None
+    result = model.fit(checkpoint_path=ckpt_path,
+                       resume=bool(ckpt_path))
+
+    out_file = save_estimate(result, model.len_vec, opts.output,
+                             cfg.run_id, cfg.lambda_0, cfg.n_states)
+    print(f"saved {out_file}")
+    return out_file
+
+
+def main(argv=None):
+    run(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

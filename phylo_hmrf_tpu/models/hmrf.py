@@ -427,26 +427,52 @@ class PhyloHMRF:
     # EM driver (reference `fit_accumulate_test`, base.py:301-455)
     # ------------------------------------------------------------------
 
-    def fit(self, verbose: bool = True, callback=None) -> FitResult:
+    def fit(self, verbose: bool = True, callback=None,
+            checkpoint_path: str | None = None, checkpoint_every: int = 5,
+            resume: bool = False) -> FitResult:
+        from phylo_hmrf_tpu.utils import checkpoint as ckpt
+
         cfg = self.cfg
-        if self.params_vec is None:
-            t0 = time.time()
-            self.initialize()
+        it_start = 0
+        restored = None
+        if resume and checkpoint_path is not None:
+            restored = ckpt.load_checkpoint(checkpoint_path)
+        if restored is not None:
+            arrays, meta = restored
+            book = ckpt.restore_model(self, arrays, meta)
+            it_start = int(book["iter"]) + 1
+            prev = np.asarray(book["prev"])
+            cost_rows = [list(r) for r in book["cost_rows"]]
+            min_cost = list(book["min_cost"])
+            min_cost1 = list(book["min_cost1"])
+            params_best = arrays["params_best"].copy()
+            params_best1 = arrays["params_best1"].copy()
+            params_list = [p.copy() for p in arrays["params_list_arr"]]
+            t_label_grids = [arrays[f"t_labels_{i}"].copy()
+                             for i in range(len(self.regions))]
+            n_iters = it_start
             if verbose:
-                print(f"[init] k-means + OU init in {time.time() - t0:.2f}s")
+                print(f"[resume] from iter {it_start}")
+        else:
+            if self.params_vec is None:
+                t0 = time.time()
+                self.initialize()
+                if verbose:
+                    print(f"[init] k-means + OU init in "
+                          f"{time.time() - t0:.2f}s")
+            prev = np.array([1e-3, 1e-3, 1e-3])  # pairwise/unary/cost1 "pre"
+            cost_rows = []
+            params_list = []
+            min_cost = [0, 1000.0]
+            min_cost1 = [0, 1000.0]
+            params_best = self.params_vec.copy()
+            params_best1 = self.params_vec.copy()
+            t_label_grids = list(self.labels_local)
+            n_iters = 0
 
         ratio_vec = self.len_vec[:, 0].astype(np.float64) / self.n_samples
-        prev = np.array([1e-3, 1e-3, 1e-3])   # pairwise, unary, cost1 "pre"
-        cost_rows = []
-        params_list = []
-        min_cost = [0, 1000.0]
-        min_cost1 = [0, 1000.0]
-        params_best = self.params_vec.copy()
-        params_best1 = self.params_vec.copy()
-        t_label_grids = list(self.labels_local)
-        n_iters = 0
 
-        for it in range(cfg.max_iter):
+        for it in range(it_start, cfg.max_iter):
             t0 = time.time()
             label_grids, stats, costs, _ = self.estep(
                 self.means_, self.covars_, self.labels_local)
@@ -493,6 +519,19 @@ class PhyloHMRF:
             self.mstep(stats)
             if verbose:
                 print(f"[iter {it:3d}] mstep={time.time() - t2:.2f}s")
+
+            if (checkpoint_path is not None
+                    and (it + 1) % checkpoint_every == 0):
+                extra = {"params_best": params_best,
+                         "params_best1": params_best1,
+                         "params_list_arr": np.asarray(params_list)}
+                for ri, g in enumerate(t_label_grids):
+                    extra[f"t_labels_{ri}"] = g
+                ckpt.save_checkpoint(
+                    checkpoint_path, self,
+                    {"iter": it, "prev": prev, "cost_rows": cost_rows,
+                     "min_cost": min_cost, "min_cost1": min_cost1},
+                    extra)
 
         # restore: params_vec1 = best-from-3; moments from overall best
         self.params_vec = params_best1.copy()

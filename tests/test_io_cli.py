@@ -1,0 +1,113 @@
+"""Output schema, checkpoint/resume and CLI tests."""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.io
+
+from phylo_hmrf_tpu.config import PhyloHMRFConfig
+from phylo_hmrf_tpu.models.hmrf import PhyloHMRF
+from phylo_hmrf_tpu.utils.io import (
+    estimate_filename, load_estimate, save_estimate)
+
+from tests.test_em import synth_problem
+
+
+def _fit_tiny(example_tree, rng, **fit_kw):
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
+    cfg = PhyloHMRFConfig(n_states=3, max_iter=4, seed=1, mstep_iters=30,
+                          pad_h=8, pad_w=8, min_iter=0)
+    model = PhyloHMRF(example_tree, regions, cfg)
+    result = model.fit(verbose=False, **fit_kw)
+    return model, result
+
+
+def test_mat_output_schema(example_tree, rng, tmp_path):
+    model, result = _fit_tiny(example_tree, rng)
+    out = save_estimate(result, model.len_vec, str(tmp_path), 0, 1.0, 3)
+    assert out == estimate_filename(str(tmp_path), 0, 1.0, 3)
+    assert os.path.basename(out) == "estimate_ou_0_1.00_3.mat"
+
+    m = scipy.io.loadmat(out)
+    for key in ("state_vec", "len_vec", "params_vec1", "params_vec2",
+                "iter_id1", "iter_id2", "cost_vec"):
+        assert key in m, key
+    assert m["state_vec"].size == model.n_samples
+    assert m["len_vec"].shape[1] == 10
+    assert m["params_vec1"].shape == (3, example_tree.n_params)
+    assert m["cost_vec"].shape[1] == 4
+
+    z = load_estimate(out.replace(".mat", ".npz"))
+    np.testing.assert_allclose(z["means"], result.means)
+    assert z["covars"].shape == (3, 4, 4)
+
+
+def test_checkpoint_resume(example_tree, rng, tmp_path):
+    ck = str(tmp_path / "ck.npz")
+    # run 1: checkpoint every iteration, stop early via max_iter
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
+    cfg = PhyloHMRFConfig(n_states=3, max_iter=2, seed=1, mstep_iters=30,
+                          pad_h=8, pad_w=8, min_iter=0, threshold=1e-9)
+    m1 = PhyloHMRF(example_tree, regions, cfg)
+    m1.fit(verbose=False, checkpoint_path=ck, checkpoint_every=1)
+    assert os.path.exists(ck)
+
+    # run 2 resumes and continues to max_iter=4
+    cfg2 = PhyloHMRFConfig(n_states=3, max_iter=4, seed=1, mstep_iters=30,
+                           pad_h=8, pad_w=8, min_iter=0, threshold=1e-9)
+    m2 = PhyloHMRF(example_tree, regions, cfg2)
+    r2 = m2.fit(verbose=False, checkpoint_path=ck, resume=True)
+    # resumed run must have continued (cost rows from earlier iters kept)
+    assert r2.cost_vec[0, 0] == 0
+    assert r2.cost_vec[-1, 0] >= 2
+    assert np.isfinite(r2.cost_vec).all()
+
+
+def test_cli_end_to_end(tmp_path, rng):
+    """Full CLI run on a synthetic 2-species dataset with tree files."""
+    res = 50000
+    n_bins = 40
+    data = tmp_path / "input"
+    data.mkdir()
+    (data / "edge.1.txt").write_text("0\t1\n0\t2\n")
+    (data / "branch_length.1.txt").write_text("1.0\t1.0\n")
+    (data / "species_name.1.txt").write_text("spA\nspB\n")
+    (data / "hg38.chrom.sizes").write_text(f"chr1\t{n_bins * res}\n")
+    paths = []
+    for s in ("spA", "spB"):
+        d = data / f"hic_{s}"
+        d.mkdir()
+        rows = []
+        for i in range(n_bins):
+            for j in range(i, min(i + 10, n_bins)):
+                v = np.exp(-0.25 * (j - i)) * 80 * (1 + rng.random())
+                rows.append(f"{i * res}\t{j * res}\t{v:.4f}")
+        (d / "chr1.50K.txt").write_text("\n".join(rows) + "\n")
+        paths.append(str(d))
+    (data / "path_list.txt").write_text("\n".join(paths) + "\n")
+    start, stop = 2 * res, 38 * res
+    (data / "chr1.synteny.txt").write_text(f"{start}\t{stop}\t{stop-start}\n")
+
+    out = tmp_path / "out"
+    cwd = os.getcwd()
+    os.chdir(tmp_path)   # chrom_quantile_test.txt lands here
+    try:
+        from phylo_hmrf_tpu.cli import main
+        main(["-n", "3", "-p", str(data), "--chromvec", "1",
+              "--miter", "3", "--output", str(out), "--n_devices", "1",
+              "--seed", "1"])
+    finally:
+        os.chdir(cwd)
+
+    mat = out / "estimate_ou_0_1.00_3.mat"
+    assert mat.exists()
+    m = scipy.io.loadmat(str(mat))
+    # border_type=0 selects i*res >= start and (j+1)*res <= stop:
+    # bins i in [2, 37], j in [1, 37] -> 36-bin square window
+    n_expected = 36 * 37 // 2
+    assert m["state_vec"].size == n_expected
+    # preprocessing cache written with the reference filenames
+    assert (out / "data.50Kb.observed.0.npy").exists()
+    assert (out / "lenvec.50Kb.observed.0.txt").exists()
+    assert (tmp_path / "chrom_quantile_test.txt").exists()
