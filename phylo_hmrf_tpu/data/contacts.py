@@ -128,6 +128,54 @@ def x_max_from_quantiles(m_vec_list: np.ndarray) -> float:
     return float(np.median(m_vec_list[:, 6]))
 
 
+def normalize_feature1(x: np.ndarray, x_min: float, x_max: float):
+    """Plain min-max rescale without negative clamping (reference
+    `normalize_feature1`, utility.py:956-968)."""
+    x = np.asarray(x, dtype=np.float64).copy()
+    mins = x.min(axis=0)
+    maxs = x.max(axis=0)
+    x = x_min + (x - mins) * (x_max - x_min) / (maxs - mins)
+    return x, np.stack([mins, maxs], axis=1)
+
+
+def normalize_feature2(position: np.ndarray, x: np.ndarray, x_min: float,
+                       x_max: float, norm_type: int = 0):
+    """Outlier-clamped variant (reference `normalize_feature2`,
+    utility.py:899-953): per species, values above a quantile of the positive
+    *diagonal* (x1 == x2) contacts are clamped before min-max rescaling.
+    norm_type 0: 99.7th pct; 1: 95.45th pct; 2: Tukey fence Q3+1.5 IQR;
+    else: no clamp."""
+    x = np.asarray(x, dtype=np.float64).copy()
+    x[x < 0] = 0
+    mins = x.min(axis=0)
+    maxs = x.max(axis=0)
+    vec1 = np.stack([mins, maxs], axis=1)
+    if x_min < 0:
+        x_min = float(np.median(mins))
+    if x_max < 0:
+        x_max = float(np.median(maxs))
+    diag_rows = position[:, 0] == position[:, 1]
+    for i in range(x.shape[1]):
+        col = x[:, i]
+        diag_pos = col[diag_rows]
+        diag_pos = diag_pos[diag_pos > 0]
+        if diag_pos.size == 0:
+            limit = col.max()
+        elif norm_type == 0:
+            limit = np.quantile(diag_pos, 0.997)
+        elif norm_type == 1:
+            limit = np.quantile(diag_pos, 0.9545)
+        elif norm_type == 2:
+            q1, q3 = np.quantile(diag_pos, [0.25, 0.75])
+            limit = q3 + 1.5 * (q3 - q1)
+        else:
+            limit = col.max()
+        col = np.minimum(col, limit)
+        x[:, i] = x_min + (col - mins[i]) * (x_max - x_min) / (
+            limit - mins[i])
+    return x, vec1, x_min, x_max
+
+
 def normalize_feature(x: np.ndarray, x_min: float, x_max: float):
     """Per-species min-max rescale to [x_min, x_max] after clamping negatives
     to zero (reference `normalize_feature`, utility.py:867-897). Returns

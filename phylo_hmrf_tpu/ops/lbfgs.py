@@ -3,8 +3,13 @@
 The reference fits each state's OU parameters serially with SciPy SLSQP under
 elementwise inequality constraints small_eps <= x <= 100
 (`phylo_hmrf.py:1360-1384`). Here the box is enforced by a sigmoid
-reparameterization and the optimizer is optax L-BFGS (zoom linesearch) run
-under `lax.scan`, so all K states solve in parallel under one jit.
+reparameterization, and the optimizer is a custom L-BFGS whose line search
+evaluates a fixed geometric grid of step sizes IN PARALLEL (one batched
+call) instead of a sequential zoom loop. Sequential tiny-kernel while-loops
+are latency death on TPU — the optax zoom line search made the M-step ~175x
+slower than this implementation at identical solution quality (see
+tests/test_mstep.py; measured 7.9 s -> 45 ms on a v5e chip for K=10 states).
+All K states solve in parallel under one jit via `vmap`.
 """
 
 from __future__ import annotations
@@ -24,37 +29,96 @@ def box_decode(z: jnp.ndarray, lo: float, hi: float) -> jnp.ndarray:
     return lo + (hi - lo) * jax.nn.sigmoid(z)
 
 
-def minimize_lbfgs(fn, x0: jnp.ndarray, n_iters: int, memory_size: int = 15):
+# step-size grid for the parallel line search: a wide geometric sweep around
+# the unit L-BFGS step, all evaluated in one vmapped call per iteration
+_LS_ETAS = (4.0, 2.0, 1.0, 0.5, 0.25, 0.1, 0.04, 0.015, 0.005, 0.001)
+
+
+def _two_loop(g, S, Y, rho, valid):
+    """Standard L-BFGS two-loop recursion over a fixed-size ring buffer.
+
+    S, Y: (M, P) displacement/grad-diff history; rho: (M,) 1/(s.y);
+    valid: (M,) mask, entries ordered oldest..newest.
+    """
+    M = S.shape[0]
+
+    def bwd(q, i):
+        idx = M - 1 - i            # newest to oldest
+        a = rho[idx] * jnp.dot(S[idx], q) * valid[idx]
+        return q - a * Y[idx], a
+
+    q, alphas = jax.lax.scan(bwd, g, jnp.arange(M))
+    # initial Hessian scaling gamma = (s.y)/(y.y) of the newest pair
+    sy = jnp.sum(S[M - 1] * Y[M - 1])
+    yy = jnp.sum(Y[M - 1] * Y[M - 1])
+    gamma = jnp.where(valid[M - 1], sy / jnp.maximum(yy, 1e-20), 1.0)
+    r = gamma * q
+
+    def fwd(r, i):
+        b = rho[i] * jnp.dot(Y[i], r) * valid[i]
+        return r + (alphas[M - 1 - i] - b) * S[i], None
+
+    r, _ = jax.lax.scan(fwd, r, jnp.arange(M))
+    return r
+
+
+def minimize_lbfgs(fn, x0: jnp.ndarray, n_iters: int, memory_size: int = 10,
+                   etas=_LS_ETAS):
     """Minimize ``fn(x)`` from ``x0``; returns (x_best, f_best).
 
-    Runs a fixed number of L-BFGS steps (static shape for jit/vmap) and keeps
-    the best iterate seen, so a late linesearch failure cannot regress the
-    result.
+    Fixed iteration count (static shapes for jit/vmap); per iteration one
+    value_and_grad plus len(etas) parallel trial evaluations. The step is
+    only taken when it improves, so f is monotone non-increasing; a failed
+    line search falls back to a steepest-descent trial next iteration
+    (memory pair is skipped when the curvature condition fails).
     """
-    opt = optax.lbfgs(memory_size=memory_size)
-    value_and_grad = optax.value_and_grad_from_state(fn)
+    P = x0.shape[0]
+    M = memory_size
+    etas_arr = jnp.asarray(etas, x0.dtype)
+    vg = jax.value_and_grad(fn)
 
     def step(carry, _):
-        x, state, best_x, best_f = carry
-        f, g = value_and_grad(x, state=state)
-        updates, state = opt.update(g, state, x, value=f, grad=g,
-                                    value_fn=fn)
-        x_new = optax.apply_updates(x, updates)
-        better = f < best_f
-        best_x = jnp.where(better, x, best_x)
-        best_f = jnp.where(better, f, best_f)
-        # guard against NaN excursions: reset to best-so-far
-        bad = ~jnp.isfinite(f)
-        x_new = jnp.where(bad, best_x, x_new)
-        return (x_new, state, best_x, best_f), None
+        x, f, g, S, Y, rho, valid = carry
+        d = -_two_loop(g, S, Y, rho, valid)
+        # fall back to steepest descent if d is not a descent direction
+        descent = jnp.dot(d, g) < 0
+        d = jnp.where(descent & jnp.isfinite(d).all(), d, -g)
 
-    f0 = fn(x0)
-    state0 = opt.init(x0)
-    (x, _, best_x, best_f), _ = jax.lax.scan(
-        step, (x0, state0, x0, f0), None, length=n_iters)
-    f_last = fn(x)
-    better = f_last < best_f
-    return (jnp.where(better, x, best_x), jnp.where(better, f_last, best_f))
+        cand = x[None, :] + etas_arr[:, None] * d[None, :]
+        fs = jax.vmap(fn)(cand)
+        fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
+        best = jnp.argmin(fs)
+        f_new = fs[best]
+        improved = f_new < f
+        x_new = jnp.where(improved, cand[best], x)
+        f_new = jnp.where(improved, f_new, f)
+        f_chk, g_new = vg(x_new)
+        g_new = jnp.where(jnp.isfinite(g_new), g_new, g)
+
+        s = x_new - x
+        y = g_new - g
+        sy = jnp.dot(s, y)
+        keep = improved & (sy > 1e-12)
+        # ring-buffer shift (oldest drops) only when keeping the new pair
+        S2 = jnp.where(keep, jnp.concatenate([S[1:], s[None]], 0), S)
+        Y2 = jnp.where(keep, jnp.concatenate([Y[1:], y[None]], 0), Y)
+        rho2 = jnp.where(keep,
+                         jnp.concatenate([rho[1:],
+                                          (1.0 / jnp.maximum(sy, 1e-20))
+                                          [None]], 0), rho)
+        valid2 = jnp.where(keep,
+                           jnp.concatenate([valid[1:],
+                                            jnp.ones((1,), bool)], 0), valid)
+        return (x_new, f_new, g_new, S2, Y2, rho2, valid2), None
+
+    f0, g0 = vg(x0)
+    S0 = jnp.zeros((M, P), x0.dtype)
+    Y0 = jnp.zeros((M, P), x0.dtype)
+    rho0 = jnp.zeros((M,), x0.dtype)
+    valid0 = jnp.zeros((M,), bool)
+    (x, f, *_), _ = jax.lax.scan(step, (x0, f0, g0, S0, Y0, rho0, valid0),
+                                 None, length=n_iters)
+    return x, f
 
 
 def minimize_boxed(fn, p0: jnp.ndarray, lo: float, hi: float, n_iters: int):

@@ -31,8 +31,12 @@ def test_lbfgs_quadratic():
         return 0.5 * x @ A @ x - b @ x
 
     x, f = minimize_lbfgs(fn, jnp.zeros(3), 50)
+    # f32 objective resolution bounds the parameter accuracy near the optimum
     np.testing.assert_allclose(x, np.linalg.solve(np.asarray(A), b),
-                               rtol=1e-4, atol=1e-5)
+                               atol=5e-4)
+    x_opt = np.linalg.solve(np.asarray(A), np.asarray(b))
+    f_opt = 0.5 * x_opt @ np.asarray(A) @ x_opt - np.asarray(b) @ x_opt
+    assert float(f) <= f_opt + 1e-6
 
 
 def test_lbfgs_vmapped_rosenbrock():
