@@ -101,7 +101,8 @@ def potts_energy(labels: jnp.ndarray, unary: jnp.ndarray, wmaps: jnp.ndarray,
     This is the objective the reference minimizes with alpha-beta swap graph
     cuts (`pygco.cut_general_graph`, `phylo_hmrf.py:496`).
     """
-    u = jnp.take_along_axis(unary, labels[..., None], axis=-1)[..., 0]
+    onehot = jax.nn.one_hot(labels, unary.shape[-1], dtype=unary.dtype)
+    u = jnp.sum(unary * onehot, axis=-1)
     e_unary = jnp.sum(jnp.where(mask, u, 0.0))
     e_pair = 0.0
     for d, (di, dj) in enumerate(DIRS):
@@ -133,10 +134,11 @@ def posteriors_and_costs(logprob: jnp.ndarray, labels: jnp.ndarray,
     posteriors = jax.nn.softmax(logprob - pp, axis=-1)
     pp_norm = jax.nn.softmax(-pp, axis=-1)
 
-    sel = labels[..., None]
-    pp_map = jnp.take_along_axis(pp, sel, axis=-1)[..., 0]
-    lp_map = jnp.take_along_axis(logprob, sel, axis=-1)[..., 0]
-    ppn_map = jnp.take_along_axis(pp_norm, sel, axis=-1)[..., 0]
+    # select-at-label via one-hot contraction (gathers are slow on TPU)
+    onehot = jax.nn.one_hot(labels, logprob.shape[-1], dtype=logprob.dtype)
+    pp_map = jnp.sum(pp * onehot, axis=-1)
+    lp_map = jnp.sum(logprob * onehot, axis=-1)
+    ppn_map = jnp.sum(pp_norm * onehot, axis=-1)
 
     pairwise_cost = jnp.sum(jnp.where(mask, pp_map, 0.0)) / n_valid_safe
     unary_cost = -jnp.sum(jnp.where(mask, lp_map, 0.0)) / n_valid_safe
