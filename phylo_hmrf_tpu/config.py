@@ -44,6 +44,7 @@ class PhyloHMRFConfig:
 
     # ---- E-step label optimizer ----
     labeler: str = "mf_icm"            # "mf_icm" | "icm" (TPU) | "swap" (exact C++ oracle, CPU)
+    use_pallas: str = "auto"           # "auto" (TPU only) | "on" | "off": fused MF Pallas kernel
     icm_max_sweeps: int = 60           # upper bound on checkerboard ICM sweeps per E-step
     icm_beta_ramp: int = 4             # sweeps over which beta ramps 0.25->1.0 x target (cold start only)
     swap_max_cycles: int = 5000        # parity with reference graph-cut budget

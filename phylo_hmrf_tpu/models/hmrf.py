@@ -60,21 +60,42 @@ class FitResult:
 
 
 def _estep_bucket(img, mask, dmaps, warm, means, covars, *, beta, beta1,
-                  weighted_pp: bool, labeler: str, max_sweeps: int):
+                  weighted_pp: bool, labeler: str, max_sweeps: int,
+                  use_pallas: bool = False):
     """One jitted E-step over a stacked region bucket.
 
     img (R,H,W,F), mask (R,H,W), dmaps (R,4,H,W), warm (R,H,W) labels.
     Returns (labels (R,H,W), (post, obs, obs2) summed over the bucket,
-    cost_vec (R,4), n_valid (R,)).
+    cost_vec (R,4), n_valid (R,)). With ``use_pallas`` (TPU), the annealed
+    mean-field stage runs as the fused Pallas kernel batched over regions.
     """
+    from phylo_hmrf_tpu.ops.icm import icm_with_energy, mean_field
+
     logprob = gaussian_logpdf(img, means, covars)        # (R,H,W,K)
     unary = -logprob
+    w_cut = weight_maps(dmaps, beta1)                    # elementwise: ok batched
 
-    def one(unary_r, dmaps_r, mask_r, warm_r, logprob_r, img_r):
-        w_cut = weight_maps(dmaps_r, beta1)
-        labels = label_optimize(unary_r, w_cut, mask_r, warm_r, beta,
-                                method=labeler, max_sweeps=max_sweeps)
-        w_pp = w_cut if weighted_pp else valid_maps(dmaps_r)
+    if labeler == "mf_icm" and use_pallas:
+        from phylo_hmrf_tpu.ops.mf_pallas import mean_field_pallas
+        mf_labels = mean_field_pallas(unary, w_cut, beta)
+    elif labeler == "mf_icm":
+        mf_labels = jax.vmap(lambda u, w: mean_field(u, w, beta))(
+            unary, w_cut)
+    else:
+        mf_labels = warm   # unused placeholder with the right shape
+
+    def one(unary_r, wcut_r, dmaps_r, mask_r, warm_r, mf_r, logprob_r,
+            img_r):
+        if labeler == "mf_icm":
+            cand_a, e_a = icm_with_energy(unary_r, wcut_r, mask_r, mf_r,
+                                          beta, max_sweeps)
+            cand_b, e_b = icm_with_energy(unary_r, wcut_r, mask_r, warm_r,
+                                          beta, max_sweeps)
+            labels = jnp.where(e_a <= e_b, cand_a, cand_b)
+        else:
+            labels = label_optimize(unary_r, wcut_r, mask_r, warm_r, beta,
+                                    method=labeler, max_sweeps=max_sweeps)
+        w_pp = wcut_r if weighted_pp else valid_maps(dmaps_r)
         K = unary_r.shape[-1]
         pp = pairwise_potential(labels, w_pp, K, beta)
         posteriors, cost_vec, n_valid = posteriors_and_costs(
@@ -83,7 +104,7 @@ def _estep_bucket(img, mask, dmaps, warm, means, covars, *, beta, beta1,
         return labels, post, obs, obs2, cost_vec, n_valid
 
     labels, post, obs, obs2, cost_vec, n_valid = jax.vmap(one)(
-        unary, dmaps, mask, warm, logprob, img)
+        unary, w_cut, dmaps, mask, warm, mf_labels, logprob, img)
     return (labels, (post.sum(0), obs.sum(0), obs2.sum(0)), cost_vec,
             n_valid)
 
@@ -162,17 +183,21 @@ class PhyloHMRF:
             self._bucket_arrays[shape] = (idxs, img, mask, dmaps)
 
         labeler = cfg.labeler if cfg.labeler != "swap" else "mf_icm"
+        if cfg.use_pallas == "auto":
+            use_pallas = jax.default_backend() == "tpu"
+        else:
+            use_pallas = cfg.use_pallas == "on"
         if self._n_shards > 1:
             from phylo_hmrf_tpu.parallel.sharding import make_sharded_estep
             self._estep_jit = make_sharded_estep(
                 self.mesh, beta=cfg.beta, beta1=cfg.beta1,
                 weighted_pp=(cfg.estimate_type == 3), labeler=labeler,
-                max_sweeps=cfg.icm_max_sweeps)
+                max_sweeps=cfg.icm_max_sweeps, use_pallas=use_pallas)
         else:
             self._estep_jit = jax.jit(functools.partial(
                 _estep_bucket, beta=cfg.beta, beta1=cfg.beta1,
                 weighted_pp=(cfg.estimate_type == 3), labeler=labeler,
-                max_sweeps=cfg.icm_max_sweeps))
+                max_sweeps=cfg.icm_max_sweeps, use_pallas=use_pallas))
         self._finish_jit = jax.jit(functools.partial(
             _finish_bucket, beta=cfg.beta, beta1=cfg.beta1,
             weighted_pp=(cfg.estimate_type == 3)))

@@ -1,0 +1,209 @@
+"""Pallas TPU kernel: fused annealed-mean-field sweep.
+
+One sweep of ops/icm.py's `mean_field` reads q, the per-direction edge
+weights and the unary field, computes the expected-Potts field and writes
+the damped softmax update. The jnp path materializes the (H, W, K)
+agreement tensor in HBM between fused stages; this kernel keeps the whole
+update in VMEM per row-tile:
+
+  layout  (K, H, W) — lanes ride W (multiple of 128), K is the major axis
+  grid    row tiles of TH rows; each tile DMAs a (K, TH+2, W) halo slab of q
+          and a (4, TH+2, W) slab of weights from HBM
+  compute agree[k] = sum_d (w_d * shift_fwd(q_k) + shift_bwd(w_d * q_k));
+          field = base + beta * (-agree)   [base = unary + beta * wsum is
+          precomputed once per E-step: wsum does not depend on q]
+          q_new = damp * q + (1 - damp) * softmax(-field / T) over K
+
+Boundary rows are handled by zero-padding q/w with one row on each side at
+the caller (zero weights contribute nothing); column shifts zero-pad in
+registers.
+
+Used automatically by `mean_field(..., backend="auto")` on TPU; the jnp path
+remains the reference implementation and the CPU/interpret fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from phylo_hmrf_tpu.data.regions import DIRS
+
+_HALO = 8  # 8-row halo keeps DMA slabs sublane-aligned
+
+
+def _shift_cols(x: jnp.ndarray, dc: int) -> jnp.ndarray:
+    """result[..., c] = x[..., c + dc], zero outside. x: (..., W)."""
+    if dc == 0:
+        return x
+    W = x.shape[-1]
+    zeros = jnp.zeros(x.shape[:-1] + (abs(dc),), x.dtype)
+    if dc > 0:
+        return jnp.concatenate([x[..., dc:], zeros], axis=-1)
+    return jnp.concatenate([zeros, x[..., :W + dc]], axis=-1)
+
+
+def _mf_sweep_kernel(scalars_ref, base_ref, qp_ref, wp_ref, out_ref,
+                     q_scratch, w_scratch, sem, *, beta: float, tile_h: int):
+    r = pl.program_id(0)      # region within the batch
+    i = pl.program_id(1)      # row tile
+    T = scalars_ref[0, 0]
+    damp = scalars_ref[1, 0]
+
+    # 8-row halo on each side keeps every DMA slab 8-row aligned (Mosaic
+    # sublane tiling); the center rows sit at offset _HALO
+    row0 = i * tile_h
+    cp_q = pltpu.make_async_copy(
+        qp_ref.at[r, :, pl.ds(row0, tile_h + 2 * _HALO), :], q_scratch,
+        sem.at[0])
+    cp_w = pltpu.make_async_copy(
+        wp_ref.at[r, :, pl.ds(row0, tile_h + 2 * _HALO), :], w_scratch,
+        sem.at[1])
+    cp_q.start()
+    cp_w.start()
+    cp_q.wait()
+    cp_w.wait()
+
+    q = q_scratch[:]          # (K, TH + 2*_HALO, W)
+    w = w_scratch[:]          # (4, TH + 2*_HALO, W)
+    K = q.shape[0]
+    c = _HALO                 # first center row within the slab
+
+    agree = jnp.zeros((K, tile_h, q.shape[2]), q.dtype)
+    for d, (dr, dc) in enumerate(DIRS):
+        # column-shift the FULL slabs first (lane-dim concat at sublane
+        # offset 0 — Mosaic rejects lane concats of sublane-offset slices),
+        # then row-slice.
+        q_sh = _shift_cols(q, dc)
+        w_sh = _shift_cols(w[d:d + 1], -dc)[0]
+        q_shm = _shift_cols(q, -dc)
+        w_d = w[d]
+        # forward edge: neighbor at (+dr, +dc), weight at the center pixel
+        agree += w_d[c:c + tile_h, :][None] * q_sh[:, c + dr:c + dr + tile_h]
+        # backward edge: neighbor at (-dr, -dc), weight stored at neighbor
+        agree += (w_sh[c - dr:c - dr + tile_h, :][None]
+                  * q_shm[:, c - dr:c - dr + tile_h])
+
+    # base = unary + beta * wsum precomputed; field = base - beta * agree
+    field = base_ref[0] - beta * agree
+    z = -field / T
+    z = z - jnp.max(z, axis=0, keepdims=True)
+    e = jnp.exp(z)
+    q_new = e / jnp.sum(e, axis=0, keepdims=True)
+    out_ref[0] = damp * q[:, c:c + tile_h, :] + (1.0 - damp) * q_new
+
+
+def _pick_tile_h(H: int, K: int, W: int, budget_bytes: int = 8 << 20) -> int:
+    """Largest multiple-of-8 row tile that divides H (H is padded to a
+    multiple of 8) and keeps the slabs (q halo + weights + base + out +
+    agree) within the VMEM budget."""
+    for th in (256, 128, 64, 32, 16, 8):
+        if H % th:
+            continue
+        use = 4 * ((K * (th + 2) * W) * 2   # q slab + agree
+                   + 2 * K * th * W          # base + out
+                   + 4 * (th + 2) * W)       # weight slab
+        if use <= budget_bytes:
+            return th
+    return 8
+
+
+@functools.partial(jax.jit, static_argnames=("beta", "interpret"))
+def mf_sweep_pallas(q: jnp.ndarray, base: jnp.ndarray, wmaps: jnp.ndarray,
+                    T, damp, *, beta: float,
+                    interpret: bool = False) -> jnp.ndarray:
+    """One mean-field sweep over a region batch.
+
+    q, base: (R, K, H, W); wmaps: (R, 4, H, W); H a multiple of 8 and W of
+    128 (regions are padded that way). Also accepts unbatched (K, H, W) /
+    (4, H, W). The batch is a grid dimension (not vmap: ANY-space refs
+    cannot be batched by vmap)."""
+    squeeze = q.ndim == 3
+    if squeeze:
+        q, base, wmaps = q[None], base[None], wmaps[None]
+    R, K, H, W = q.shape
+    tile_h = _pick_tile_h(H, K, W)
+    pad = [(0, 0), (0, 0), (_HALO, _HALO), (0, 0)]
+    qp = jnp.pad(q, pad)
+    wp = jnp.pad(wmaps, pad)
+    scalars = jnp.stack([jnp.asarray(T, q.dtype),
+                         jnp.asarray(damp, q.dtype)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(R, H // tile_h),
+        in_specs=[
+            pl.BlockSpec((2, 1), lambda r, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, tile_h, W), lambda r, i: (r, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, K, tile_h, W), lambda r, i: (r, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((K, tile_h + 2 * _HALO, W), q.dtype),
+            pltpu.VMEM((4, tile_h + 2 * _HALO, W), q.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_mf_sweep_kernel, beta=beta, tile_h=tile_h)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, K, H, W), q.dtype),
+        interpret=interpret,
+    )(scalars.reshape(2, 1), base, qp, wp)
+    return out[0] if squeeze else out
+
+
+def mean_field_pallas(unary: jnp.ndarray, wmaps: jnp.ndarray, beta: float,
+                      temps=(4.0, 2.0, 1.0, 0.5, 0.25),
+                      iters_per_temp: int = 8, damping: float = 0.5,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Drop-in Pallas replacement for ops.icm.mean_field.
+
+    unary (H, W, K) or batched (R, H, W, K); wmaps (4, H, W) or (R, 4, H, W).
+    Returns hardened labels, (H, W) / (R, H, W) int32.
+    """
+    from phylo_hmrf_tpu.ops.potts import _shift_bwd, neighbor_sums_soft
+
+    squeeze = unary.ndim == 3
+    if squeeze:
+        unary, wmaps = unary[None], wmaps[None]
+
+    q = jax.nn.softmax(-unary, axis=-1)
+    qk = jnp.transpose(q, (0, 3, 1, 2))                  # (R, K, H, W)
+    uk = jnp.transpose(unary, (0, 3, 1, 2))
+
+    def one_base(wm_r, uk_r):
+        # wsum[p] = sum_d (w_d[p] + w_d[p - (dr, dc)]): constant per E-step
+        wsum = jnp.sum(wm_r, axis=0)
+        for d, (dr, dc) in enumerate(DIRS):
+            wsum = wsum + _shift_bwd(wm_r[d], dr, dc, 0.0)
+        return uk_r + beta * wsum[None]
+
+    base = jax.vmap(one_base)(wmaps, uk)
+
+    temps_arr = jnp.repeat(jnp.asarray(temps, unary.dtype), iters_per_temp)
+
+    def step(qk, T):
+        return mf_sweep_pallas(qk, base, wmaps, T, damping, beta=beta,
+                               interpret=interpret), None
+
+    qk, _ = jax.lax.scan(step, qk, temps_arr)
+    # final hard assignment at T -> 0: argmin of the expected field
+    q_last = jnp.transpose(qk, (0, 2, 3, 1))
+
+    def one_final(q_r, wm_r, unary_r):
+        agree, wsum2 = neighbor_sums_soft(q_r, wm_r)
+        field = unary_r + beta * (wsum2[..., None] - agree)
+        return jnp.argmin(field, axis=-1).astype(jnp.int32)
+
+    labels = jax.vmap(one_final)(q_last, wmaps, unary)
+    return labels[0] if squeeze else labels

@@ -42,7 +42,8 @@ def pad_bucket_to_devices(img, mask, dmaps, n_devices: int):
 
 
 def make_sharded_estep(mesh: Mesh, *, beta, beta1, weighted_pp: bool,
-                       labeler: str, max_sweeps: int, axis: str = "data"):
+                       labeler: str, max_sweeps: int,
+                       use_pallas: bool = False, axis: str = "data"):
     """Build a jitted, shard_mapped E-step over `mesh`.
 
     The returned function has the same signature/returns as
@@ -52,7 +53,7 @@ def make_sharded_estep(mesh: Mesh, *, beta, beta1, weighted_pp: bool,
 
     local = functools.partial(
         _estep_bucket, beta=beta, beta1=beta1, weighted_pp=weighted_pp,
-        labeler=labeler, max_sweeps=max_sweeps)
+        labeler=labeler, max_sweeps=max_sweeps, use_pallas=use_pallas)
 
     def shard_fn(img, mask, dmaps, warm, means, covars):
         labels, stats, costs, nvalid = local(
