@@ -38,27 +38,26 @@ def _two_loop(g, S, Y, rho, valid):
     """Standard L-BFGS two-loop recursion over a fixed-size ring buffer.
 
     S, Y: (M, P) displacement/grad-diff history; rho: (M,) 1/(s.y);
-    valid: (M,) mask, entries ordered oldest..newest.
+    valid: (M,) mask, entries ordered oldest..newest. Unrolled (M is small
+    and static) — straight-line code fuses into far fewer TPU kernels than
+    two length-M scans.
     """
     M = S.shape[0]
-
-    def bwd(q, i):
-        idx = M - 1 - i            # newest to oldest
-        a = rho[idx] * jnp.dot(S[idx], q) * valid[idx]
-        return q - a * Y[idx], a
-
-    q, alphas = jax.lax.scan(bwd, g, jnp.arange(M))
+    v = valid.astype(g.dtype)
+    q = g
+    alphas = [None] * M
+    for i in range(M - 1, -1, -1):   # newest to oldest
+        a = rho[i] * jnp.dot(S[i], q) * v[i]
+        q = q - a * Y[i]
+        alphas[i] = a
     # initial Hessian scaling gamma = (s.y)/(y.y) of the newest pair
     sy = jnp.sum(S[M - 1] * Y[M - 1])
     yy = jnp.sum(Y[M - 1] * Y[M - 1])
     gamma = jnp.where(valid[M - 1], sy / jnp.maximum(yy, 1e-20), 1.0)
     r = gamma * q
-
-    def fwd(r, i):
-        b = rho[i] * jnp.dot(Y[i], r) * valid[i]
-        return r + (alphas[M - 1 - i] - b) * S[i], None
-
-    r, _ = jax.lax.scan(fwd, r, jnp.arange(M))
+    for i in range(M):               # oldest to newest
+        b = rho[i] * jnp.dot(Y[i], r) * v[i]
+        r = r + (alphas[i] - b) * S[i]
     return r
 
 
