@@ -80,6 +80,10 @@ class PhyloHMRFConfig:
     # ---- parallelism ----
     mesh_shape: Sequence[int] = ()     # empty = single device
     mesh_axes: Sequence[str] = ("data",)
+    shard_mode: str = "region"         # "region": regions over devices;
+                                       # "spatial": each region's rows over
+                                       # devices (halo exchange — for few
+                                       # huge grids, e.g. 10kb resolution)
 
     # ---- io ----
     run_id: int = 0

@@ -162,6 +162,14 @@ class PhyloHMRF:
         # are padded to the mesh size and placed region-sharded on devices
         self._n_shards = (int(self.mesh.devices.size)
                           if self.mesh is not None else 1)
+        self._spatial = (self._n_shards > 1 and cfg.shard_mode == "spatial")
+        if self._spatial:
+            for r in self.regions:
+                if r.shape[0] % self._n_shards:
+                    raise ValueError(
+                        f"spatial sharding needs region H divisible by the "
+                        f"mesh size ({self._n_shards}); region "
+                        f"{r.region_id} has H={r.shape[0]} — raise pad_h")
         self._buckets = {}
         for idx, r in enumerate(self.regions):
             self._buckets.setdefault(r.shape, []).append(idx)
@@ -170,7 +178,7 @@ class PhyloHMRF:
             img = np.stack([self.regions[i].img for i in idxs])
             mask = np.stack([self.regions[i].mask for i in idxs])
             dmaps = np.stack([self.regions[i].dmaps for i in idxs])
-            if self._n_shards > 1:
+            if self._n_shards > 1 and not self._spatial:
                 from phylo_hmrf_tpu.parallel.sharding import (
                     device_put_bucket, pad_bucket_to_devices)
                 img, mask, dmaps, _ = pad_bucket_to_devices(
@@ -187,7 +195,22 @@ class PhyloHMRF:
             use_pallas = jax.default_backend() == "tpu"
         else:
             use_pallas = cfg.use_pallas == "on"
-        if self._n_shards > 1:
+        if self._spatial:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from phylo_hmrf_tpu.parallel.halo import make_rowsharded_estep
+            self._estep_jit = None
+            self._spatial_estep = make_rowsharded_estep(
+                self.mesh, beta=cfg.beta, beta1=cfg.beta1,
+                weighted_pp=(cfg.estimate_type == 3),
+                max_sweeps=cfg.icm_max_sweeps)
+            rows = NamedSharding(self.mesh, PartitionSpec("data"))
+            rows1 = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+            self._spatial_arrays = [
+                (jax.device_put(jnp.asarray(r.img), rows),
+                 jax.device_put(jnp.asarray(r.mask), rows),
+                 jax.device_put(jnp.asarray(r.dmaps), rows1))
+                for r in self.regions]
+        elif self._n_shards > 1:
             from phylo_hmrf_tpu.parallel.sharding import make_sharded_estep
             self._estep_jit = make_sharded_estep(
                 self.mesh, beta=cfg.beta, beta1=cfg.beta1,
@@ -334,6 +357,21 @@ class PhyloHMRF:
 
         means_j = jnp.asarray(means, jnp.float32)
         covars_j = jnp.asarray(covars, jnp.float32)
+
+        if self._spatial:
+            from jax.sharding import NamedSharding, PartitionSpec
+            rows = NamedSharding(self.mesh, PartitionSpec("data"))
+            for ri, (img, mask, dmaps) in enumerate(self._spatial_arrays):
+                warm = jax.device_put(jnp.asarray(warm_grids[ri]), rows)
+                labels, (p, o, o2), cv, nv = self._spatial_estep(
+                    img, mask, dmaps, warm, means_j, covars_j)
+                post += np.asarray(p, np.float64)
+                obs += np.asarray(o, np.float64)
+                obs2 += np.asarray(o2, np.float64)
+                costs[ri] = np.asarray(cv, np.float64)
+                nvalid[ri] = float(nv)
+                label_grids[ri] = np.asarray(labels)
+            return label_grids, (post, obs, obs2), costs, nvalid
 
         for shape, (idxs, img, mask, dmaps) in self._bucket_arrays.items():
             warm_np = np.stack([warm_grids[i] for i in idxs])
