@@ -22,6 +22,15 @@ def parse_args(argv=None):
     a("-n", "--num_states", default="10")
     a("-f", "--chromosome", default="1")
     a("-p", "--root_path", default=".")
+    # accepted-for-compatibility flags (no effect on the main estimation
+    # path in the reference either: phylo_hmrf.py:1535-1548)
+    a("-l", "--length", default="one")
+    a("-m", "--multiple", default="true")
+    a("-a", "--species_name", default="human")
+    a("-o", "--sort_states", default="false")
+    a("-s", "--simu_version", default="1")
+    a("-u", "--position1", default="0")
+    a("-v", "--position2", default="50000")
     a("-r", "--run_id", default="0")
     a("-c", "--cons_param", default="1")
     a("-t", "--method_mode", default="1")

@@ -67,6 +67,8 @@ class PhyloHMRFConfig:
     })
 
     # ---- numerics / hardware ----
+    kmeans_backend: str = "jax"        # "jax" (TPU-native) | "sklearn"
+                                       # (MiniBatchKMeans, reference parity)
     seed: int = 0
     dtype: str = "float32"
     compute_posteriors_f64: bool = False

@@ -57,6 +57,7 @@ class FitResult:
     means: np.ndarray          # (K, F) restored from params_vec
     covars: np.ndarray         # (K, F, F) restored from params_vec
     n_iters: int = 0
+    state_list: np.ndarray | None = None   # (n_iters, N) when track_states
 
 
 def _estep_bucket(img, mask, dmaps, warm, means, covars, *, beta, beta1,
@@ -267,10 +268,19 @@ class PhyloHMRF:
         X = self.flat_values()
         K = self.n_states
 
-        key = jax.random.PRNGKey(cfg.seed)
-        centers, labels, _ = kmeans(key, jnp.asarray(X), K)
-        centers = np.asarray(centers, np.float64)
-        labels = np.asarray(labels)
+        if cfg.kmeans_backend == "sklearn":
+            # reference-parity init (`phylo_hmrf.py:234-240`)
+            from sklearn.cluster import MiniBatchKMeans
+            km = MiniBatchKMeans(n_clusters=K, random_state=cfg.seed,
+                                 batch_size=2000, max_iter=1000, n_init=10)
+            km.fit(X)
+            centers = np.asarray(km.cluster_centers_, np.float64)
+            labels = np.asarray(km.labels_)
+        else:
+            key = jax.random.PRNGKey(cfg.seed)
+            centers, labels, _ = kmeans(key, jnp.asarray(X), K)
+            centers = np.asarray(centers, np.float64)
+            labels = np.asarray(labels)
 
         self.means_ = centers.copy()
         cv = np.cov(X.T) + cfg.min_covar * np.eye(self.n_features)
@@ -492,10 +502,13 @@ class PhyloHMRF:
 
     def fit(self, verbose: bool = True, callback=None,
             checkpoint_path: str | None = None, checkpoint_every: int = 5,
-            resume: bool = False) -> FitResult:
+            resume: bool = False, patience: int | None = None,
+            track_states: bool = False) -> FitResult:
         from phylo_hmrf_tpu.utils import checkpoint as ckpt
 
         cfg = self.cfg
+        patience = cfg.patience if patience is None else patience
+        state_list = [] if track_states else None
         it_start = 0
         restored = None
         if resume and checkpoint_path is not None:
@@ -554,6 +567,10 @@ class PhyloHMRF:
             cost_rows.append([it, pairwise_cost, unary_cost, cost1])
             params_list.append(self.params_vec.copy())
             n_iters = it + 1
+            if track_states:
+                state_list.append(np.concatenate([
+                    self.regions[i].labels_to_flat(label_grids[i])
+                    for i in range(len(self.regions))]))
 
             if verbose:
                 print(f"[iter {it:3d}] pairwise={pairwise_cost:.6f} "
@@ -575,7 +592,7 @@ class PhyloHMRF:
             if (((d1 < cfg.threshold and d2 < cfg.threshold)
                  or d3 < cfg.threshold) and it > cfg.min_iter):
                 break
-            if it - min_cost1[0] > cfg.patience:
+            if it - min_cost1[0] > patience:
                 break
 
             t2 = time.time()
@@ -614,7 +631,16 @@ class PhyloHMRF:
             iter_id1=min_cost[0], iter_id2=min_cost1[0],
             cost_vec=np.asarray(cost_rows), labels=labels_flat,
             means=self.means_.copy(), covars=self.covars_.copy(),
-            n_iters=n_iters)
+            n_iters=n_iters,
+            state_list=(np.asarray(state_list) if track_states else None))
+
+    def fit_accumulate(self, **kw) -> FitResult:
+        """Legacy fit variant (reference ``fit_accumulate``, base.py:164-299):
+        patience of 20 iterations past the best cost and per-iteration state
+        tracking (the reference's ``state_vecList``)."""
+        kw.setdefault("patience", 20)
+        kw.setdefault("track_states", True)
+        return self.fit(**kw)
 
     # ------------------------------------------------------------------
     # inference-only path (reference `predict`, phylo_hmrf.py:470)

@@ -1,0 +1,134 @@
+"""Golden debug dumps, simulation utilities, bed/analysis helpers,
+distributed init no-op, profiling utilities."""
+
+import os
+
+import numpy as np
+import pytest
+
+from phylo_hmrf_tpu.tree import save_debug_dumps
+from phylo_hmrf_tpu.utils.bedio import (
+    parse_alignment_blocks, state_enrichment, write_tobed)
+from phylo_hmrf_tpu.utils.profiling import ConvergenceMonitor, PhaseTimer
+from phylo_hmrf_tpu.utils.simulate import (
+    generate_sample_from_state, ou_moments_np, sample_potts_labels,
+    simulate_region)
+
+
+def test_debug_dumps_golden(example_tree, tmp_path):
+    """ou_A1.txt / ou_A2.txt / base_mtx_* must match the reference's format
+    and the hand-derived golden values of the example tree."""
+    save_debug_dumps(example_tree, str(tmp_path))
+    A1 = np.loadtxt(tmp_path / "ou_A1.txt")
+    A2 = np.loadtxt(tmp_path / "ou_A2.txt")
+    np.testing.assert_array_equal(A1, example_tree.A1)
+    np.testing.assert_array_equal(A2, example_tree.A2)
+    b0 = np.loadtxt(tmp_path / "base_mtx_0")
+    np.testing.assert_array_equal(b0, np.ones((4, 4)))
+    assert os.path.exists(tmp_path / "base_mtx_7")
+
+
+def test_simulate_region(example_tree, rng):
+    K = 3
+    params = rng.random((K, example_tree.n_params)) * 0.5 + 0.2
+    region, labels = simulate_region(rng, example_tree, params, 24, 24, True,
+                                     pad_h=8, pad_w=8)
+    assert region.is_diag
+    assert labels.shape == (24, 24)
+    np.testing.assert_array_equal(labels, labels.T)  # symmetric label map
+    v = region.flat_values()
+    assert np.isfinite(v).all() and (v > 0).all()
+
+
+def test_potts_sampler_is_smooth(rng):
+    labels = sample_potts_labels(rng, 40, 40, 3, beta=1.5, n_sweeps=20)
+    # strong coupling -> neighbors mostly agree
+    same = (labels[:-1, :] == labels[1:, :]).mean()
+    assert same > 0.7, same
+    assert set(np.unique(labels)) <= {0, 1, 2}
+
+
+def test_generate_sample_from_state(example_tree, rng):
+    params = rng.random(example_tree.n_params) * 0.5 + 0.2
+    X = generate_sample_from_state(rng, example_tree, params, 20000)
+    m, V = ou_moments_np(params, example_tree)
+    np.testing.assert_allclose(X.mean(0), m, atol=0.05)
+    np.testing.assert_allclose(np.cov(X.T), V + 1e-3 * np.eye(4), atol=0.05)
+
+
+def test_state_enrichment():
+    chroms = np.array([1, 1, 1, 1, 2, 2, 2, 2])
+    states = np.array([0, 0, 0, 1, 1, 1, 1, 0])
+    log_fc, fc = state_enrichment(chroms, states)
+    assert fc.shape == (2, 2)
+    # state 0 enriched on chr1 (3/4 vs global 4/8)
+    np.testing.assert_allclose(fc[0, 0], (3 / 4) / (4 / 8))
+
+
+def test_write_tobed(tmp_path):
+    src = tmp_path / "in.txt"
+    src.write_text("chr1\t0\t100\nchr1\t100\t200\n")
+    out = tmp_path / "out.bed"
+    write_tobed(str(src), str(out))
+    lines = out.read_text().strip().split("\n")
+    assert lines[0].split("\t") == ["chr1", "0", "100", "0"]
+    assert lines[1].split("\t")[3] == "1"
+
+
+def test_parse_alignment_blocks(tmp_path):
+    f = tmp_path / "aln.txt"
+    f.write_text(
+        "hg38.chr21:100-5000 + x\n"
+        "panTro5.chr21:200-4800 + x\n"
+        "gorGor4.chr21:100-5100 + x\n"
+        "panPan2.chr21:150-4700 + x\n"
+        "hg38.chr21:6000-6200 + x\n"       # too short
+        "panTro5.chr21:6000-6150 + x\n"
+        "gorGor4.chr21:6000-6220 + x\n"
+        "panPan2.chr21:6000-6190 + x\n"
+        "hg38.chr2:0-9000 + x\n"           # chr2 -> chr2A allowed
+        "panTro5.chr2A:0-9100 + x\n"
+        "gorGor4.chr2:0-9050 + x\n"
+        "panPan2.chr2B:0-9060 + x\n")
+    out = parse_alignment_blocks(str(f), min_length=1000)
+    assert "chr21" in out and len(out["chr21"]) == 1
+    assert out["chr21"][0] == [100, 5000, 4900]
+    assert "chr2" in out
+
+
+def test_distributed_noop():
+    from phylo_hmrf_tpu.parallel.distributed import initialize_distributed
+    info = initialize_distributed()
+    assert info["distributed"] is False
+    assert info["process_count"] == 1
+
+
+def test_phase_timer_and_monitor(tmp_path):
+    t = PhaseTimer()
+    with t.phase("estep"):
+        pass
+    with t.phase("estep"):
+        pass
+    s = t.summary()
+    assert s["estep"]["count"] == 2
+
+    log = tmp_path / "mon.jsonl"
+    mon = ConvergenceMonitor(tol=1e-2, patience=5, log_file=str(log))
+    mon.report(0, 1.0, 2.0, 3.0)
+    mon.report(1, 1.0, 2.0, 3.0001)
+    assert mon.converged
+    assert not mon.exhausted_patience
+    assert len(log.read_text().strip().split("\n")) == 2
+
+
+def test_fit_accumulate_tracks_states(example_tree, rng):
+    from phylo_hmrf_tpu.config import PhyloHMRFConfig
+    from phylo_hmrf_tpu.models.hmrf import PhyloHMRF
+    from tests.test_em import synth_problem
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
+    cfg = PhyloHMRFConfig(n_states=3, max_iter=3, seed=1, mstep_iters=20,
+                          pad_h=8, pad_w=8, min_iter=0, threshold=1e-9)
+    model = PhyloHMRF(example_tree, regions, cfg)
+    res = model.fit_accumulate(verbose=False)
+    assert res.state_list is not None
+    assert res.state_list.shape == (res.n_iters, model.n_samples)
