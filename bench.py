@@ -216,10 +216,26 @@ def bench_cpu(tree, region, means, covs, warm):
 
 
 def main():
+    global H0
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--remeasure-cpu", action="store_true")
+    ap.add_argument("--stress", action="store_true",
+                    help="10kb-resolution scale (3264^2 grid, 5.3M samples; "
+                         "BASELINE config #4); no CPU baseline at this size")
     args = ap.parse_args()
+
+    if args.stress:
+        H0 = 3264
+        tree, region, means, covs, warm, _ = build_problem()
+        tpu_s = bench_tpu(tree, region, means, covs, warm, args.iters)
+        print(json.dumps({
+            "metric": "chr21_10kb_em_iteration_time",
+            "value": round(tpu_s, 4),
+            "unit": "s",
+            "vs_baseline": 0,
+        }))
+        return
 
     tree, region, means, covs, warm, _ = build_problem()
 

@@ -503,12 +503,20 @@ class PhyloHMRF:
     def fit(self, verbose: bool = True, callback=None,
             checkpoint_path: str | None = None, checkpoint_every: int = 5,
             resume: bool = False, patience: int | None = None,
-            track_states: bool = False) -> FitResult:
+            track_states: bool = False, monitor=None,
+            cost_log: str | None = None) -> FitResult:
         from phylo_hmrf_tpu.utils import checkpoint as ckpt
+        from phylo_hmrf_tpu.utils.profiling import (ConvergenceMonitor,
+                                                    PhaseTimer)
 
         cfg = self.cfg
         patience = cfg.patience if patience is None else patience
         state_list = [] if track_states else None
+        if monitor is None:
+            monitor = ConvergenceMonitor(cfg.threshold, patience,
+                                         log_file=cost_log)
+        self.monitor_ = monitor
+        self.timer = PhaseTimer()
         it_start = 0
         restored = None
         if resume and checkpoint_path is not None:
@@ -550,8 +558,9 @@ class PhyloHMRF:
 
         for it in range(it_start, cfg.max_iter):
             t0 = time.time()
-            label_grids, stats, costs, _ = self.estep(
-                self.means_, self.covars_, self.labels_local)
+            with self.timer.phase("estep"):
+                label_grids, stats, costs, _ = self.estep(
+                    self.means_, self.covars_, self.labels_local)
             t1 = time.time()
 
             pairwise_cost = float(costs[:, 0] @ ratio_vec)
@@ -564,6 +573,7 @@ class PhyloHMRF:
             d3 = abs((cost1 - prev[2]) / prev[2])
             prev = np.array([pairwise_cost, unary_cost, cost1])
 
+            monitor.report(it, pairwise_cost, unary_cost, cost1)
             cost_rows.append([it, pairwise_cost, unary_cost, cost1])
             params_list.append(self.params_vec.copy())
             n_iters = it + 1
@@ -596,7 +606,8 @@ class PhyloHMRF:
                 break
 
             t2 = time.time()
-            self.mstep(stats)
+            with self.timer.phase("mstep"):
+                self.mstep(stats)
             if verbose:
                 print(f"[iter {it:3d}] mstep={time.time() - t2:.2f}s")
 

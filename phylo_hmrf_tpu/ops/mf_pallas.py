@@ -97,17 +97,29 @@ def _mf_sweep_kernel(scalars_ref, base_ref, qp_ref, wp_ref, out_ref,
     out_ref[0] = damp * q[:, c:c + tile_h, :] + (1.0 - damp) * q_new
 
 
-def _pick_tile_h(H: int, K: int, W: int, budget_bytes: int = 8 << 20) -> int:
+_VMEM_LIMIT = 100 << 20   # v5e VMEM is 128 MiB; leave headroom
+
+
+def _vmem_use(th: int, K: int, W: int) -> int:
+    """Measured-accurate VMEM model of one kernel instance: q slab + its two
+    column-shifted temporaries, weight slab x2, double-buffered base/out
+    blocks, and the agree accumulator (all f32)."""
+    slab = th + 2 * _HALO
+    return 4 * (3 * K * slab * W      # q slab + q_sh + q_shm
+                + 2 * 4 * slab * W    # weight slab (+ shifted copy)
+                + 2 * 2 * K * th * W  # base + out, double-buffered
+                + K * th * W)         # agree
+
+
+def _pick_tile_h(H: int, K: int, W: int,
+                 budget_bytes: int = _VMEM_LIMIT // 2) -> int:
     """Largest multiple-of-8 row tile that divides H (H is padded to a
-    multiple of 8) and keeps the slabs (q halo + weights + base + out +
-    agree) within the VMEM budget."""
+    multiple of 8) and fits the VMEM budget (with 2x headroom under the
+    compiler limit)."""
     for th in (256, 128, 64, 32, 16, 8):
         if H % th:
             continue
-        use = 4 * ((K * (th + 2) * W) * 2   # q slab + agree
-                   + 2 * K * th * W          # base + out
-                   + 4 * (th + 2) * W)       # weight slab
-        if use <= budget_bytes:
+        if _vmem_use(th, K, W) <= budget_bytes:
             return th
     return 8
 
@@ -153,11 +165,16 @@ def mf_sweep_pallas(q: jnp.ndarray, base: jnp.ndarray, wmaps: jnp.ndarray,
         ],
     )
     kernel = functools.partial(_mf_sweep_kernel, beta=beta, tile_h=tile_h)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, K, H, W), q.dtype),
         interpret=interpret,
+        **kwargs,
     )(scalars.reshape(2, 1), base, qp, wp)
     return out[0] if squeeze else out
 
