@@ -43,8 +43,14 @@ class PhyloHMRFConfig:
     best_from_iter: int = 3            # best-tracked params/labels only recorded from this iter on
 
     # ---- E-step label optimizer ----
-    labeler: str = "mf_icm"            # "mf_icm" | "icm" (TPU) | "swap" (exact C++ oracle, CPU)
+    labeler: str = "mf_icm"            # "mf_icm" | "icm" (fast TPU local opt)
+                                       # | "swap_tpu" (exact graph-cut swap on
+                                       #   device via parallel push-relabel)
+                                       # | "swap" (exact C++ oracle, CPU)
     use_pallas: str = "auto"           # "auto" (TPU only) | "on" | "off": fused MF Pallas kernel
+    final_polish: bool = True          # polish the final state map with one
+                                       # exact on-device swap pass
+    swap_tpu_cycles: int = 2           # swap cycles per swap_tpu E-step
     icm_max_sweeps: int = 60           # upper bound on checkerboard ICM sweeps per E-step
     icm_beta_ramp: int = 4             # sweeps over which beta ramps 0.25->1.0 x target (cold start only)
     swap_max_cycles: int = 5000        # parity with reference graph-cut budget
@@ -96,7 +102,7 @@ class PhyloHMRFConfig:
         if self.num_neighbor not in (4, 8):
             raise ValueError("num_neighbor must be 4 or 8 "
                              f"(got {self.num_neighbor})")
-        if self.labeler not in ("mf_icm", "icm", "swap"):
+        if self.labeler not in ("mf_icm", "icm", "swap_tpu", "swap"):
             raise ValueError(f"unknown labeler {self.labeler!r}")
 
     @property

@@ -191,7 +191,8 @@ class PhyloHMRF:
                                     jnp.asarray(dmaps))
             self._bucket_arrays[shape] = (idxs, img, mask, dmaps)
 
-        labeler = cfg.labeler if cfg.labeler != "swap" else "mf_icm"
+        labeler = ("mf_icm" if cfg.labeler in ("swap", "swap_tpu")
+                   else cfg.labeler)
         if cfg.use_pallas == "auto":
             use_pallas = jax.default_backend() == "tpu"
         else:
@@ -225,6 +226,8 @@ class PhyloHMRF:
         self._finish_jit = jax.jit(functools.partial(
             _finish_bucket, beta=cfg.beta, beta1=cfg.beta1,
             weighted_pp=(cfg.estimate_type == 3)))
+        self._unary_jit = jax.jit(
+            lambda img, means, covars: -gaussian_logpdf(img, means, covars))
 
         tree_ = self.tree
 
@@ -383,6 +386,30 @@ class PhyloHMRF:
                 label_grids[ri] = np.asarray(labels)
             return label_grids, (post, obs, obs2), costs, nvalid
 
+        if cfg.labeler == "swap_tpu":
+            label_grids = self._exact_labels_all(means_j, covars_j,
+                                                 warm_grids)
+            for shape, (idxs, img, mask, dmaps) in \
+                    self._bucket_arrays.items():
+                labels_np = np.stack([label_grids[i] for i in idxs])
+                r_pad = img.shape[0] - labels_np.shape[0]
+                if r_pad > 0:
+                    labels_np = np.concatenate(
+                        [labels_np, np.zeros((r_pad,) + labels_np.shape[1:],
+                                             labels_np.dtype)], axis=0)
+                (p, o, o2), cv, nv = self._finish_jit(
+                    img, mask, dmaps, jnp.asarray(labels_np), means_j,
+                    covars_j)
+                post += np.asarray(p, np.float64)
+                obs += np.asarray(o, np.float64)
+                obs2 += np.asarray(o2, np.float64)
+                cv = np.asarray(cv, np.float64)
+                nv = np.asarray(nv, np.float64)
+                for bi, ri in enumerate(idxs):
+                    costs[ri] = cv[bi]
+                    nvalid[ri] = nv[bi]
+            return label_grids, (post, obs, obs2), costs, nvalid
+
         for shape, (idxs, img, mask, dmaps) in self._bucket_arrays.items():
             warm_np = np.stack([warm_grids[i] for i in idxs])
             r_pad = img.shape[0] - warm_np.shape[0]
@@ -420,6 +447,24 @@ class PhyloHMRF:
                 nvalid[ri] = nv[bi]
                 label_grids[ri] = np.asarray(out_labels[bi])
         return label_grids, (post, obs, obs2), costs, nvalid
+
+    def _exact_labels_all(self, means_j, covars_j, warm_grids):
+        """Exact on-device labeling (mean field + ICM + parallel-push-relabel
+        alpha-beta swap) for every region."""
+        from phylo_hmrf_tpu.ops.maxflow_tpu import exact_labels
+
+        cfg = self.cfg
+        out = [None] * len(self.regions)
+        for ri, r in enumerate(self.regions):
+            unary = self._unary_jit(jnp.asarray(r.img), means_j, covars_j)
+            wm = weight_maps(jnp.asarray(r.dmaps), cfg.beta1)
+            labels = exact_labels(unary, wm, jnp.asarray(r.mask),
+                                  jnp.asarray(warm_grids[ri]), cfg.beta,
+                                  self.n_states,
+                                  max_cycles=cfg.swap_tpu_cycles,
+                                  icm_max_sweeps=cfg.icm_max_sweeps)
+            out[ri] = np.asarray(labels)
+        return out
 
     def _swap_labels(self, idxs, means, covars, warm_grids):
         """Exact alpha-beta-swap labeling on the host (CPU backend)."""
@@ -631,6 +676,14 @@ class PhyloHMRF:
         self.means_ = np.asarray(means, np.float64)
         self.covars_ = (np.asarray(covars, np.float64)
                         + cfg.min_covar * np.eye(self.n_features))
+
+        if cfg.final_polish and cfg.labeler not in ("swap", "swap_tpu"):
+            # one exact on-device swap pass over the best-iteration labels
+            # under the restored best-iteration moments
+            with self.timer.phase("final_polish"):
+                t_label_grids = self._exact_labels_all(
+                    jnp.asarray(self.means_, jnp.float32),
+                    jnp.asarray(self.covars_, jnp.float32), t_label_grids)
 
         labels_flat = np.concatenate([
             self.regions[i].labels_to_flat(t_label_grids[i])

@@ -1,0 +1,256 @@
+"""Exact s-t min-cut on masked 2D grids — data-parallel push-relabel in JAX.
+
+This is the TPU replacement for the reference's serial Boykov-Kolmogorov
+maxflow (`gco_source/maxflow.cpp:472`, the innermost hot loop of the whole
+reference program): a Jacobi/lock-free push-relabel over the pixel grid.
+Every pixel owns terminal arcs (unary costs), so augmenting paths are a few
+pixels long and the sweep count stays small; a periodic global relabel (BFS
+toward the sink, run as min-plus sweeps) keeps heights tight.
+
+On top of it, `swap_optimize` runs exact alpha-beta swap — the reference's
+E-step optimizer (`GCoptimization.cpp:1338`) — entirely on device: one jitted
+`swap_move(labels, a, b)` is reused for every label pair (a, b are traced),
+so the whole multi-label optimization is K(K-1)/2 kernel dispatches per
+cycle with no host synchronization inside a cycle.
+
+Direction convention: 8 directed neighbor arcs; directions 0..3 are DIRS
+(right, down, down-right, down-left), 4..7 their reversals. caps[d, i, j] is
+the residual capacity of the arc from (i, j) to its direction-d neighbor.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from phylo_hmrf_tpu.data.regions import DIRS
+from phylo_hmrf_tpu.ops.potts import _shift_bwd, _shift_fwd
+
+ALL_DIRS = tuple(DIRS) + tuple((-di, -dj) for (di, dj) in DIRS)
+_EPS = 1e-6
+
+
+def _neighbor(x, d, fill):
+    """value at the direction-d neighbor of each pixel."""
+    di, dj = ALL_DIRS[d]
+    if di > 0 or (di == 0 and dj > 0):
+        return _shift_fwd(x, di, dj, fill)
+    return _shift_bwd(x, -di, -dj, fill)
+
+
+def _rev(d: int) -> int:
+    return (d + 4) % 8
+
+
+def grid_mincut(excess0: jnp.ndarray, cap_t0: jnp.ndarray,
+                caps0: jnp.ndarray, max_sweeps: int = 3000,
+                relabel_every: int = 16):
+    """Phase-1 push-relabel min-cut.
+
+    excess0 (H, W): source-arc capacities (pre-saturated: excess = cap_s).
+    cap_t0 (H, W): sink-arc capacities.
+    caps0 (8, H, W): directed neighbor-arc capacities (see ALL_DIRS).
+
+    Returns source_side (H, W) bool: True = pixel on the source side of a
+    minimum cut (standard phase-1 invariant: nodes lifted to height >= n are
+    disconnected from the sink in the residual graph).
+    """
+    H, W = excess0.shape
+    n = H * W + 2
+    h0 = jnp.zeros((H, W), jnp.int32)
+
+    def global_relabel(h, cap_t, caps):
+        """BFS distance-to-sink over the residual graph via min-plus sweeps;
+        unreachable nodes go to height n."""
+        d0 = jnp.where(cap_t > _EPS, 1, n).astype(jnp.int32)
+
+        def sweep(state):
+            d, changed, it = state
+            best = d
+            for dd in range(8):
+                nb_d = _neighbor(d, dd, n)
+                cand = jnp.where(caps[dd] > _EPS, nb_d + 1, n)
+                best = jnp.minimum(best, cand)
+            best = jnp.minimum(best, jnp.where(cap_t > _EPS, 1, n))
+            best = jnp.minimum(best, n)
+            changed = jnp.any(best != d)
+            return best, changed, it + 1
+
+        def cond(state):
+            _, changed, it = state
+            return changed & (it < n)
+
+        d, _, _ = jax.lax.while_loop(cond, sweep, (d0, jnp.bool_(True),
+                                                   jnp.int32(0)))
+        # heights are valid lower bounds on residual distance, so the exact
+        # BFS distance can only lift them; max keeps monotonicity
+        return jnp.maximum(h, d)
+
+    def one_iteration(state):
+        e, h, cap_t, caps, it = state
+
+        # periodic global relabel
+        def with_relabel(args):
+            h, cap_t, caps = args
+            return global_relabel(h, cap_t, caps)
+
+        h = jax.lax.cond(it % relabel_every == 0, with_relabel,
+                         lambda args: args[0], (h, cap_t, caps))
+
+        # push to sink (sink height 0: admissible when h == 1)
+        can = (h == 1)
+        delta = jnp.where(can, jnp.minimum(e, cap_t), 0.0)
+        e = e - delta
+        cap_t = cap_t - delta
+
+        # push to neighbors, one direction at a time (deterministic)
+        for d in range(8):
+            nb_h = _neighbor(h, d, -1)
+            admissible = (h == nb_h + 1) & (h < n)
+            delta = jnp.where(admissible, jnp.minimum(e, caps[d]), 0.0)
+            e = e - delta
+            caps = caps.at[d].add(-delta)
+            # the reverse arc gains capacity at the neighbor; incoming excess
+            rd = _rev(d)
+            inc = _neighbor(delta, rd, 0.0)   # delta arriving at each pixel
+            caps = caps.at[rd].add(inc)
+            e = e + inc
+
+        # relabel active nodes with no admissible arcs
+        active = (e > _EPS) & (h < n)
+        min_h = jnp.where(cap_t > _EPS, 0, n).astype(jnp.int32)
+        for d in range(8):
+            nb_h = _neighbor(h, d, n)
+            min_h = jnp.minimum(min_h, jnp.where(caps[d] > _EPS, nb_h, n))
+        new_h = jnp.minimum(min_h + 1, n).astype(jnp.int32)
+        # only lift (heights are monotone) and only where no admissible push
+        # happened (active nodes whose height is not admissible to any arc)
+        h = jnp.where(active, jnp.maximum(h, new_h), h)
+        return e, h, cap_t, caps, it + 1
+
+    def cond(state):
+        e, h, cap_t, caps, it = state
+        return jnp.any((e > _EPS) & (h < n)) & (it < max_sweeps)
+
+    e, h, cap_t, caps, _ = jax.lax.while_loop(
+        cond, one_iteration,
+        (excess0.astype(jnp.float32), h0, cap_t0.astype(jnp.float32),
+         caps0.astype(jnp.float32), jnp.int32(0)))
+
+    # source side = cannot reach the sink in the residual graph
+    d = jnp.where(cap_t > _EPS, 1, n).astype(jnp.int32)
+
+    def sweep(state):
+        d, changed, it = state
+        best = d
+        for dd in range(8):
+            nb_d = _neighbor(d, dd, n)
+            best = jnp.minimum(best, jnp.where(caps[dd] > _EPS, nb_d + 1, n))
+        best = jnp.minimum(best, jnp.where(cap_t > _EPS, 1, best))
+        changed = jnp.any(best != d)
+        return best, changed, it + 1
+
+    d, _, _ = jax.lax.while_loop(lambda s: s[1] & (s[2] < n), sweep,
+                                 (d, jnp.bool_(True), jnp.int32(0)))
+    return d >= n
+
+
+def swap_move(labels: jnp.ndarray, unary: jnp.ndarray, wmaps: jnp.ndarray,
+              mask: jnp.ndarray, a, b, beta: float,
+              max_sweeps: int = 3000) -> jnp.ndarray:
+    """One exact alpha-beta swap move: pixels labeled a or b may exchange
+    labels; solved as a binary min-cut (source side = label a).
+
+    a, b are traced scalars, so one compiled function serves every pair.
+    """
+    K = unary.shape[-1]
+    in_play = ((labels == a) | (labels == b)) & mask
+    onehot_a = jax.nn.one_hot(a, K, dtype=unary.dtype)
+    onehot_b = jax.nn.one_hot(b, K, dtype=unary.dtype)
+    u_a = jnp.einsum("hwk,k->hw", unary, onehot_a)
+    u_b = jnp.einsum("hwk,k->hw", unary, onehot_b)
+
+    # t-links: c0 = cost(label a), c1 = cost(label b), including frozen
+    # neighbors (labels not in {a, b}) as unary shifts
+    c0 = jnp.where(in_play, u_a, 0.0)
+    c1 = jnp.where(in_play, u_b, 0.0)
+    for d in range(4):
+        di, dj = ALL_DIRS[d]
+        w = wmaps[d]
+        for fwd in (True, False):
+            if fwd:
+                nb_lab = _shift_fwd(labels, di, dj, -1)
+                nb_play = _shift_fwd(in_play, di, dj, False)
+                w_e = w
+            else:
+                nb_lab = _shift_bwd(labels, di, dj, -1)
+                nb_play = _shift_bwd(in_play, di, dj, False)
+                w_e = _shift_bwd(w, di, dj, 0.0)
+            frozen = (~nb_play) & (nb_lab >= 0)
+            add = jnp.where(frozen, w_e, 0.0) * beta
+            c0 = c0 + jnp.where(nb_lab != a, add, 0.0)
+            c1 = c1 + jnp.where(nb_lab != b, add, 0.0)
+
+    diff = jnp.where(in_play, c1 - c0, 0.0)
+    excess0 = jnp.maximum(diff, 0.0)          # S -> p arcs (cut => label b)
+    cap_t0 = jnp.maximum(-diff, 0.0)          # p -> T arcs (cut => label a)
+
+    # pairwise Potts arcs between in-play neighbors: undirected beta * w
+    caps0 = jnp.zeros((8,) + labels.shape, unary.dtype)
+    for d in range(4):
+        di, dj = ALL_DIRS[d]
+        nb_play = _shift_fwd(in_play, di, dj, False)
+        lam = jnp.where(in_play & nb_play, wmaps[d] * beta, 0.0)
+        caps0 = caps0.at[d].add(lam)
+        caps0 = caps0.at[_rev(d)].add(_neighbor(lam, _rev(d), 0.0))
+
+    source_side = grid_mincut(excess0, cap_t0, caps0, max_sweeps)
+    new_labels = jnp.where(source_side, a, b).astype(labels.dtype)
+    return jnp.where(in_play, new_labels, labels)
+
+
+def exact_labels(unary: jnp.ndarray, wmaps: jnp.ndarray, mask: jnp.ndarray,
+                 warm: jnp.ndarray, beta: float, n_states: int,
+                 max_cycles: int = 2, icm_max_sweeps: int = 60) -> jnp.ndarray:
+    """Full-quality labeling: annealed mean field + ICM proposes, exact
+    on-device alpha-beta swap finishes. Matches the reference's graph-cut
+    E-step (pygco swap, phylo_hmrf.py:496) to float tolerance."""
+    from phylo_hmrf_tpu.ops.icm import icm_with_energy, mean_field
+
+    mf = mean_field(unary, wmaps, beta)
+    cand_a, e_a = icm_with_energy(unary, wmaps, mask, mf, beta,
+                                  icm_max_sweeps)
+    cand_b, e_b = icm_with_energy(unary, wmaps, mask, warm, beta,
+                                  icm_max_sweeps)
+    start = jnp.where(e_a <= e_b, cand_a, cand_b)
+    return swap_optimize(unary, wmaps, mask, start, beta, n_states,
+                         max_cycles=max_cycles)
+
+
+def swap_optimize(unary: jnp.ndarray, wmaps: jnp.ndarray, mask: jnp.ndarray,
+                  init_labels: jnp.ndarray, beta: float, n_states: int,
+                  max_cycles: int = 10, max_sweeps: int = 3000,
+                  energy_fn=None, tol: float = 1e-6) -> jnp.ndarray:
+    """Exact alpha-beta swap on device. Host loop over cycles (one energy
+    fetch per cycle decides convergence); all pair moves within a cycle are
+    asynchronous dispatches of the single jitted swap_move."""
+    from phylo_hmrf_tpu.ops.potts import potts_energy
+
+    move = jax.jit(functools.partial(swap_move, beta=beta,
+                                     max_sweeps=max_sweeps))
+    energy = jax.jit(functools.partial(potts_energy, beta=beta))
+
+    labels = jnp.where(mask, init_labels, 0).astype(jnp.int32)
+    prev_e = float(energy(labels, unary, wmaps, mask))
+    for _ in range(max_cycles):
+        for a in range(n_states):
+            for b in range(a + 1, n_states):
+                labels = move(labels, unary, wmaps, mask,
+                              jnp.int32(a), jnp.int32(b))
+        e = float(energy(labels, unary, wmaps, mask))
+        if prev_e - e <= tol * max(1.0, abs(prev_e)):
+            break
+        prev_e = e
+    return labels

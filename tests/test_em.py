@@ -43,7 +43,7 @@ def test_em_fits_synthetic(example_tree, rng):
     tree = example_tree
     K = 3
     _, means, covs, regions, true = synth_problem(tree, rng, K=K)
-    cfg = PhyloHMRFConfig(n_states=K, max_iter=8, seed=1, min_iter=2,
+    cfg = PhyloHMRFConfig(final_polish=False, n_states=K, max_iter=8, seed=1, min_iter=2,
                           mstep_iters=80, pad_h=8, pad_w=8)
     model = PhyloHMRF(tree, regions, cfg)
     result = model.fit(verbose=False)
@@ -64,7 +64,7 @@ def test_em_fits_synthetic(example_tree, rng):
 def test_em_len_vec_contract(example_tree, rng):
     tree = example_tree
     _, _, _, regions, _ = synth_problem(tree, rng)
-    model = PhyloHMRF(tree, regions, PhyloHMRFConfig(n_states=3))
+    model = PhyloHMRF(tree, regions, PhyloHMRFConfig(final_polish=False, n_states=3))
     lv = model.len_vec
     assert lv.shape[1] == 10
     # [n, start, stop, H0, W0, ...] with contiguous offsets
@@ -79,7 +79,7 @@ def test_em_len_vec_contract(example_tree, rng):
 def test_predict_matches_estep(example_tree, rng):
     tree = example_tree
     _, _, _, regions, true = synth_problem(tree, rng)
-    cfg = PhyloHMRFConfig(n_states=3, max_iter=3, seed=1, mstep_iters=40,
+    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=3, seed=1, mstep_iters=40,
                           pad_h=8, pad_w=8)
     model = PhyloHMRF(tree, regions, cfg)
     result = model.fit(verbose=False)
@@ -88,3 +88,35 @@ def test_predict_matches_estep(example_tree, rng):
     # predict() re-runs the E-step under the restored params: should agree
     # with the fit labels on the vast majority of pixels
     assert (pred == result.labels).mean() > 0.8
+
+
+def test_final_polish_lowers_energy(example_tree, rng):
+    """final_polish=True must not raise the final MRF energy."""
+    import jax.numpy as jnp
+    from phylo_hmrf_tpu.models.emission import gaussian_logpdf
+    from phylo_hmrf_tpu.ops.potts import potts_energy, weight_maps
+
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
+    base = dict(n_states=3, max_iter=3, seed=1, mstep_iters=30, pad_h=8,
+                pad_w=8, min_iter=0, threshold=1e-12)
+    r_plain = PhyloHMRF(example_tree, regions,
+                        PhyloHMRFConfig(final_polish=False, **base)
+                        ).fit(verbose=False)
+    m2 = PhyloHMRF(example_tree, regions,
+                   PhyloHMRFConfig(final_polish=True, **base))
+    r_pol = m2.fit(verbose=False)
+
+    def energy(labels):
+        e = 0.0
+        for i, reg in enumerate(m2.regions):
+            grid = reg.labels_to_grid(
+                labels[m2.offsets[i]:m2.offsets[i + 1]])
+            unary = -gaussian_logpdf(jnp.asarray(reg.img),
+                                     jnp.asarray(r_pol.means, jnp.float32),
+                                     jnp.asarray(r_pol.covars, jnp.float32))
+            wm = weight_maps(jnp.asarray(reg.dmaps), m2.cfg.beta1)
+            e += float(potts_energy(jnp.asarray(grid), unary, wm,
+                                    jnp.asarray(reg.mask), m2.cfg.beta))
+        return e
+
+    assert energy(r_pol.labels) <= energy(r_plain.labels) + 1e-3

@@ -16,7 +16,7 @@ from tests.test_em import synth_problem
 
 def _fit_tiny(example_tree, rng, **fit_kw):
     _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
-    cfg = PhyloHMRFConfig(n_states=3, max_iter=4, seed=1, mstep_iters=30,
+    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=4, seed=1, mstep_iters=30,
                           pad_h=8, pad_w=8, min_iter=0)
     model = PhyloHMRF(example_tree, regions, cfg)
     result = model.fit(verbose=False, **fit_kw)
@@ -47,14 +47,14 @@ def test_checkpoint_resume(example_tree, rng, tmp_path):
     ck = str(tmp_path / "ck.npz")
     # run 1: checkpoint every iteration, stop early via max_iter
     _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
-    cfg = PhyloHMRFConfig(n_states=3, max_iter=2, seed=1, mstep_iters=30,
+    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=2, seed=1, mstep_iters=30,
                           pad_h=8, pad_w=8, min_iter=0, threshold=1e-9)
     m1 = PhyloHMRF(example_tree, regions, cfg)
     m1.fit(verbose=False, checkpoint_path=ck, checkpoint_every=1)
     assert os.path.exists(ck)
 
     # run 2 resumes and continues to max_iter=4
-    cfg2 = PhyloHMRFConfig(n_states=3, max_iter=4, seed=1, mstep_iters=30,
+    cfg2 = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=4, seed=1, mstep_iters=30,
                            pad_h=8, pad_w=8, min_iter=0, threshold=1e-9)
     m2 = PhyloHMRF(example_tree, regions, cfg2)
     r2 = m2.fit(verbose=False, checkpoint_path=ck, resume=True)

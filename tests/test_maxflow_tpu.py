@@ -1,0 +1,96 @@
+"""Data-parallel push-relabel min-cut / on-device alpha-beta swap, gated
+against brute force and the exact C++ Dinic oracle."""
+
+import itertools
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from phylo_hmrf_tpu import native
+from phylo_hmrf_tpu.data.regions import (
+    flat_edge_list, flat_index_order, region_from_samples)
+from phylo_hmrf_tpu.ops.maxflow_tpu import grid_mincut, swap_optimize
+from phylo_hmrf_tpu.ops.potts import weight_maps, potts_energy
+from phylo_hmrf_tpu.data.regions import DIRS
+
+
+def _binary_energy(x, excess, cap_t, caps):
+    """Cut value of assignment x (True = source side / x=0 semantics):
+    pay excess (S->p) where p is on the sink side, cap_t where on the source
+    side, and neighbor caps where the arc crosses S->T."""
+    H, W = x.shape
+    e = np.where(~x, excess, 0.0).sum() + np.where(x, cap_t, 0.0).sum()
+    from phylo_hmrf_tpu.ops.maxflow_tpu import ALL_DIRS
+    for d, (di, dj) in enumerate(ALL_DIRS):
+        for i in range(H):
+            for j in range(W):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < H and 0 <= jj < W:
+                    if x[i, j] and not x[ii, jj]:
+                        e += caps[d, i, j]
+    return e
+
+
+def test_mincut_matches_bruteforce(rng):
+    H, W = 3, 4
+    for trial in range(6):
+        excess = rng.random((H, W)) * 2
+        cap_t = rng.random((H, W)) * 2
+        caps = np.zeros((8, H, W))
+        # undirected 8-neighbor arcs
+        for d in range(4):
+            lam = rng.random((H, W))
+            caps[d] = lam
+        # mirror into reverse directions consistently
+        from phylo_hmrf_tpu.ops.maxflow_tpu import ALL_DIRS, _rev
+        for d in range(4):
+            di, dj = ALL_DIRS[d]
+            for i in range(H):
+                for j in range(W):
+                    ii, jj = i + di, j + dj
+                    if 0 <= ii < H and 0 <= jj < W:
+                        caps[_rev(d), ii, jj] = caps[d, i, j]
+                    else:
+                        caps[d, i, j] = 0.0
+
+        src = np.asarray(grid_mincut(jnp.asarray(excess),
+                                     jnp.asarray(cap_t),
+                                     jnp.asarray(caps)))
+        e_pr = _binary_energy(src, excess, cap_t, caps)
+        best = min(
+            _binary_energy(np.asarray(assign).reshape(H, W).astype(bool),
+                           excess, cap_t, caps)
+            for assign in itertools.product([False, True], repeat=H * W))
+        assert e_pr <= best + 1e-4, (trial, e_pr, best)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_swap_optimize_matches_cpp(rng):
+    H0, K, beta, beta1 = 20, 4, 1.0, 0.5
+    rows, cols = flat_index_order(H0, H0, True)
+    vals = (rng.random((rows.shape[0], 3)) + 0.1).astype(np.float32)
+    region = region_from_samples(vals, H0, H0, True, pad_h=4, pad_w=4)
+    N = region.n_samples
+    unary_flat = (rng.random((N, K)) * 2).astype(np.float64)
+    warm = rng.integers(0, K, N).astype(np.int32)
+
+    edges = flat_edge_list(region)
+    w = np.exp(-beta1 * edges[:, 2])
+    ei = edges[:, :2].astype(np.int64)
+    cpp_labels = native.potts_swap(ei, w, unary_flat, beta, warm, 100)
+    e_cpp = native.potts_energy(ei, w, unary_flat, beta, cpp_labels)
+
+    unary_grid = np.zeros(region.shape + (K,), np.float32)
+    unary_grid[region.flat_rows, region.flat_cols] = unary_flat
+    wm = weight_maps(jnp.asarray(region.dmaps), beta1)
+    out = swap_optimize(jnp.asarray(unary_grid), wm,
+                        jnp.asarray(region.mask),
+                        jnp.asarray(region.labels_to_grid(warm)),
+                        beta, K)
+    out_flat = region.labels_to_flat(np.asarray(out)).astype(np.int32)
+    e_tpu = native.potts_energy(ei, w, unary_flat, beta, out_flat)
+
+    # both are exact swap: same fixed-point quality (order may differ ->
+    # allow a hair of slack either way)
+    assert e_tpu <= e_cpp + 1e-6 + 1e-4 * abs(e_cpp), (e_tpu, e_cpp)

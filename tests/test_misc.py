@@ -126,7 +126,7 @@ def test_fit_accumulate_tracks_states(example_tree, rng):
     from phylo_hmrf_tpu.models.hmrf import PhyloHMRF
     from tests.test_em import synth_problem
     _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
-    cfg = PhyloHMRFConfig(n_states=3, max_iter=3, seed=1, mstep_iters=20,
+    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=3, seed=1, mstep_iters=20,
                           pad_h=8, pad_w=8, min_iter=0, threshold=1e-9)
     model = PhyloHMRF(example_tree, regions, cfg)
     res = model.fit_accumulate(verbose=False)

@@ -51,7 +51,7 @@ def test_pad_bucket():
 def test_sharded_estep_matches_single(example_tree, rng, mesh8):
     tree = example_tree
     regions = _many_regions(tree, rng, n=8)
-    cfg = PhyloHMRFConfig(n_states=3, seed=3, pad_h=8, pad_w=8)
+    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, seed=3, pad_h=8, pad_w=8)
 
     m_single = PhyloHMRF(tree, regions, cfg)
     m_shard = PhyloHMRF(tree, regions, cfg, mesh=mesh8)
@@ -80,7 +80,7 @@ def test_sharded_estep_uneven_regions(example_tree, rng, mesh8):
     """5 regions over 8 devices: padding regions must not perturb results."""
     tree = example_tree
     regions = _many_regions(tree, rng, n=5)
-    cfg = PhyloHMRFConfig(n_states=3, seed=3, pad_h=8, pad_w=8)
+    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, seed=3, pad_h=8, pad_w=8)
     m_single = PhyloHMRF(tree, regions, cfg)
     m_shard = PhyloHMRF(tree, regions, cfg, mesh=mesh8)
     m_single.initialize()
@@ -102,7 +102,7 @@ def test_sharded_estep_uneven_regions(example_tree, rng, mesh8):
 def test_sharded_full_fit(example_tree, rng, mesh8):
     tree = example_tree
     regions = _many_regions(tree, rng, n=8)
-    cfg = PhyloHMRFConfig(n_states=3, max_iter=3, seed=3, mstep_iters=30,
+    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=3, seed=3, mstep_iters=30,
                           pad_h=8, pad_w=8, min_iter=0)
     model = PhyloHMRF(tree, regions, cfg, mesh=mesh8)
     result = model.fit(verbose=False)

@@ -22,9 +22,9 @@ def test_spatial_fit_matches_single(example_tree, rng, mesh8):
     tree = example_tree
     _, _, _, regions, true = synth_problem(tree, rng, K=3, H0=32)
     # H0=32 diag region pads to H=32 (divisible by 8); rect region H0=16
-    cfg = PhyloHMRFConfig(n_states=3, max_iter=4, seed=1, mstep_iters=40,
+    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=4, seed=1, mstep_iters=40,
                           pad_h=8, pad_w=8, min_iter=0, shard_mode="spatial")
-    cfg_single = PhyloHMRFConfig(n_states=3, max_iter=4, seed=1,
+    cfg_single = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=4, seed=1,
                                  mstep_iters=40, pad_h=8, pad_w=8,
                                  min_iter=0)
 
@@ -44,7 +44,7 @@ def test_spatial_fit_matches_single(example_tree, rng, mesh8):
 def test_spatial_rejects_indivisible_rows(example_tree, rng, mesh8):
     _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=24)
     # H0=12 rect region pads to 16 with pad_h=4 -> not divisible by 8
-    cfg = PhyloHMRFConfig(n_states=3, pad_h=4, pad_w=8, shard_mode="spatial")
+    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, pad_h=4, pad_w=8, shard_mode="spatial")
     from phylo_hmrf_tpu.data.regions import region_from_samples
     bad = region_from_samples(regions[1].flat_values(), regions[1].H0,
                               regions[1].W0, False, pad_h=4, pad_w=8)
