@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from phylo_hmrf_tpu.data.regions import DIRS
 from phylo_hmrf_tpu.ops.potts import _shift_bwd, _shift_fwd
@@ -245,8 +246,15 @@ def swap_optimize(unary: jnp.ndarray, wmaps: jnp.ndarray, mask: jnp.ndarray,
     labels = jnp.where(mask, init_labels, 0).astype(jnp.int32)
     prev_e = float(energy(labels, unary, wmaps, mask))
     for _ in range(max_cycles):
+        # one histogram fetch per cycle lets us skip moves over label pairs
+        # with no pixels at all (common with many states)
+        hist = np.bincount(
+            np.asarray(jnp.where(mask, labels, n_states)).ravel(),
+            minlength=n_states + 1)[:n_states]
         for a in range(n_states):
             for b in range(a + 1, n_states):
+                if hist[a] == 0 and hist[b] == 0:
+                    continue
                 labels = move(labels, unary, wmaps, mask,
                               jnp.int32(a), jnp.int32(b))
         e = float(energy(labels, unary, wmaps, mask))
