@@ -230,24 +230,78 @@ def exact_labels(unary: jnp.ndarray, wmaps: jnp.ndarray, mask: jnp.ndarray,
                          max_cycles=max_cycles)
 
 
+def round_robin_pairs(n: int):
+    """Tournament schedule: n-1 (or n) rounds of floor(n/2) disjoint pairs
+    covering every unordered pair exactly once. Disjoint pairs within a
+    round touch disjoint label sets, so their swap moves commute and can be
+    solved as one batched min-cut."""
+    players = list(range(n)) + ([None] if n % 2 else [])
+    m = len(players)
+    rounds = []
+    for _ in range(m - 1):
+        rnd = []
+        for i in range(m // 2):
+            a, b = players[i], players[m - 1 - i]
+            if a is not None and b is not None:
+                rnd.append((min(a, b), max(a, b)))
+        rounds.append(rnd)
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    return rounds
+
+
+def _swap_moves_batched(labels, unary, wmaps, mask, pairs_a, pairs_b, *,
+                        beta: float, max_sweeps: int):
+    """Apply a round of disjoint swap moves as one vmapped min-cut batch.
+    pairs_a/pairs_b: (P,) label indices; the moves touch disjoint pixels."""
+    def one(a, b):
+        return swap_move(labels, unary, wmaps, mask, a, b, beta, max_sweeps)
+
+    out = jax.vmap(one)(pairs_a, pairs_b)     # (P, H, W)
+    # each pixel changed by at most one move (labels are disjoint):
+    # fold the batch back by taking any changed value
+    changed = out != labels[None]
+    pick = jnp.argmax(changed, axis=0)
+    merged = jnp.take_along_axis(out, pick[None], axis=0)[0]
+    any_changed = jnp.any(changed, axis=0)
+    return jnp.where(any_changed, merged, labels)
+
+
 def swap_optimize(unary: jnp.ndarray, wmaps: jnp.ndarray, mask: jnp.ndarray,
                   init_labels: jnp.ndarray, beta: float, n_states: int,
                   max_cycles: int = 10, max_sweeps: int = 3000,
-                  energy_fn=None, tol: float = 1e-6) -> jnp.ndarray:
+                  tol: float = 1e-6, batch_pairs: bool = False) -> jnp.ndarray:
     """Exact alpha-beta swap on device. Host loop over cycles (one energy
-    fetch per cycle decides convergence); all pair moves within a cycle are
-    asynchronous dispatches of the single jitted swap_move."""
+    fetch per cycle decides convergence).
+
+    batch_pairs=True solves each round-robin round of disjoint pairs as one
+    vmapped min-cut batch — fewer dispatches but the straggler pair gates
+    every sweep (vmapped while_loops run to the slowest element), which
+    measured ~3x slower on chr22 than sequential dispatches; it is kept as
+    an option for many-state regimes where dispatch latency dominates."""
     from phylo_hmrf_tpu.ops.potts import potts_energy
+
+    energy = jax.jit(functools.partial(potts_energy, beta=beta))
+    labels = jnp.where(mask, init_labels, 0).astype(jnp.int32)
+    prev_e = float(energy(labels, unary, wmaps, mask))
+
+    if batch_pairs and n_states >= 3:
+        rounds = round_robin_pairs(n_states)
+        batched = jax.jit(functools.partial(
+            _swap_moves_batched, beta=beta, max_sweeps=max_sweeps))
+        for _ in range(max_cycles):
+            for rnd in rounds:
+                pa = jnp.asarray([p[0] for p in rnd], jnp.int32)
+                pb = jnp.asarray([p[1] for p in rnd], jnp.int32)
+                labels = batched(labels, unary, wmaps, mask, pa, pb)
+            e = float(energy(labels, unary, wmaps, mask))
+            if prev_e - e <= tol * max(1.0, abs(prev_e)):
+                break
+            prev_e = e
+        return labels
 
     move = jax.jit(functools.partial(swap_move, beta=beta,
                                      max_sweeps=max_sweeps))
-    energy = jax.jit(functools.partial(potts_energy, beta=beta))
-
-    labels = jnp.where(mask, init_labels, 0).astype(jnp.int32)
-    prev_e = float(energy(labels, unary, wmaps, mask))
     for _ in range(max_cycles):
-        # one histogram fetch per cycle lets us skip moves over label pairs
-        # with no pixels at all (common with many states)
         hist = np.bincount(
             np.asarray(jnp.where(mask, labels, n_states)).ravel(),
             minlength=n_states + 1)[:n_states]
