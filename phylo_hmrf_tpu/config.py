@@ -63,6 +63,10 @@ class PhyloHMRFConfig:
     filter_param1: float = 5           # diffusion niter / bilateral sigma_color
     filter_param2: float = 50          # diffusion kappa / bilateral sigma_spatial
     diagonal_type: int = 0             # --dtype: 1 = keep only diagonal (symmetric) blocks
+    mask_mode: str = "structural"      # "structural" (all grid pixels are
+                                       # samples) | "observed" (drop interior
+                                       # pixels with no Hi-C support, like the
+                                       # reference's masked raster variant)
     x_min: float = 0.0
     legacy_bin_count: bool = True      # reproduce the reference's py2 floor-division bin count
     # centromere split points {chrom: (p1, p2)}; blocks spanning [p1,p2] are split.

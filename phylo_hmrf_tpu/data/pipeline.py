@@ -53,6 +53,10 @@ def rasterize_region(x_sel: np.ndarray, pos_sel: np.ndarray, is_diag: bool,
         img = np.zeros((H0, W0, F), dtype=np.float64)
         img[pos_sel[:, 0] - start1, pos_sel[:, 1] - start2] = x_sel
 
+    keep = None
+    if getattr(cfg, "mask_mode", "structural") == "observed":
+        keep = observed_support_mask(img, H0, W0, is_diag)
+
     for f in range(F):
         img[..., f] = hole_fill(img[..., f], symmetric=is_diag)
     img = smooth_image(img, cfg.filter_mode, cfg.filter_sigma,
@@ -60,7 +64,27 @@ def rasterize_region(x_sel: np.ndarray, pos_sel: np.ndarray, is_diag: bool,
 
     rows, cols = flat_index_order(H0, W0, is_diag)
     values = img[rows, cols].astype(np.float32)
-    return values, H0, W0, start1, start2
+    if keep is not None:
+        values = values[keep]
+    return values, H0, W0, start1, start2, keep
+
+
+def observed_support_mask(img: np.ndarray, H0: int, W0: int,
+                          is_diag: bool) -> np.ndarray:
+    """Observed-support sample filter (reference
+    ``write_matrix_image_v1_mask``, utility.py:2231-2292): keep pixels whose
+    2x2 upper-left neighborhood carries any signal; border pixels are always
+    kept (the reference only zeroes interior pixels)."""
+    support = img.sum(-1) > 0
+    inner = np.zeros((H0, W0), dtype=bool)
+    inner[1:-1, 1:-1] = True
+    patch = (support
+             | np.roll(support, 1, axis=0)
+             | np.roll(support, 1, axis=1)
+             | np.roll(np.roll(support, 1, axis=0), 1, axis=1))
+    mask2d = np.where(inner, patch, True)
+    rows, cols = flat_index_order(H0, W0, is_diag)
+    return mask2d[rows, cols]
 
 
 def _load_one_region(args):
@@ -72,12 +96,12 @@ def _load_one_region(args):
     x_sel, idx = select_region_samples(position, x, pos1, pos2, pos1a, pos2a,
                                        cfg.resolution, border_type=0)
     pos_sel = position[idx, :2]
-    values, H0, W0, start1, start2 = rasterize_region(
+    values, H0, W0, start1, start2, keep = rasterize_region(
         x_sel, pos_sel, is_diag, cfg)
     return region_from_samples(
         values, H0, W0, is_diag, num_neighbor=cfg.num_neighbor,
         pad_h=cfg.pad_h, pad_w=cfg.pad_w, chrom=int(chrom),
-        region_id=int(region_id1), start1=start1, start2=start2)
+        region_id=int(region_id1), start1=start1, start2=start2, keep=keep)
 
 
 def load_chromosome(chrom, cfg: PhyloHMRFConfig, chrom_sizes_file: str,
@@ -145,6 +169,17 @@ def save_cache(regions, output_path: str, cfg: PhyloHMRFConfig):
     f_data, f_edge, f_len, f_meta = cache_paths(output_path, cfg.resolution,
                                                 cfg.run_id)
     samples = np.concatenate([r.flat_values() for r in regions], axis=0)
+    if getattr(cfg, "mask_mode", "structural") == "observed":
+        from phylo_hmrf_tpu.data.regions import flat_index_order
+        keeps = np.empty(len(regions), dtype=object)
+        for i, r in enumerate(regions):
+            rows, cols = flat_index_order(r.H0, r.W0, r.is_diag)
+            sel = np.zeros(rows.shape[0], dtype=bool)
+            have = set(zip(r.flat_rows.tolist(), r.flat_cols.tolist()))
+            for k in range(rows.shape[0]):
+                sel[k] = (int(rows[k]), int(cols[k])) in have
+            keeps[i] = sel
+        np.save(f_meta[:-4], keeps, allow_pickle=True)
     np.save(f_data[:-4], samples)
     edge_lists = np.empty(len(regions), dtype=object)
     for i, r in enumerate(regions):
@@ -163,20 +198,24 @@ def save_cache(regions, output_path: str, cfg: PhyloHMRFConfig):
 def load_cache(output_path: str, cfg: PhyloHMRFConfig):
     """Rebuild RegionGrids from the cached flat samples + len_vec. Returns
     None when the cache is missing (caller recomputes, like --reload 1)."""
-    f_data, f_edge, f_len, _ = cache_paths(output_path, cfg.resolution,
-                                           cfg.run_id)
+    f_data, f_edge, f_len, f_meta = cache_paths(output_path, cfg.resolution,
+                                                cfg.run_id)
     if not (os.path.exists(f_data) and os.path.exists(f_len)):
         return None
     samples = np.load(f_data)
     len_vec = np.loadtxt(f_len, dtype=np.int64, delimiter="\t")
     if len_vec.ndim == 1:
         len_vec = len_vec.reshape(1, -1)
+    keeps = None
+    if os.path.exists(f_meta):
+        keeps = np.load(f_meta, allow_pickle=True)
     regions = []
-    for row in len_vec:
+    for ri, row in enumerate(len_vec):
         n, start, stop, H0, W0, s1, s2, rid, type_id, chrom = row
+        keep = keeps[ri] if keeps is not None else None
         regions.append(region_from_samples(
             samples[start:stop], int(H0), int(W0), bool(type_id),
             num_neighbor=cfg.num_neighbor, pad_h=cfg.pad_h, pad_w=cfg.pad_w,
             chrom=int(chrom), region_id=int(rid), start1=int(s1),
-            start2=int(s2)))
+            start2=int(s2), keep=keep))
     return regions

@@ -126,9 +126,17 @@ def edge_distance_maps(img: np.ndarray, mask: np.ndarray, is_diag: bool,
 def region_from_samples(values: np.ndarray, H0: int, W0: int, is_diag: bool,
                         num_neighbor: int = 8, pad_h: int = 8,
                         pad_w: int = 128, chrom: int = -1, region_id: int = -1,
-                        start1: int = 0, start2: int = 0) -> RegionGrid:
-    """Build a RegionGrid from the flat sample array (N, F)."""
+                        start1: int = 0, start2: int = 0,
+                        keep: np.ndarray | None = None) -> RegionGrid:
+    """Build a RegionGrid from the flat sample array (N, F).
+
+    ``keep`` (optional bool over the structural flat order) restricts the
+    sample set to a subset of pixels — the observed-support masking of the
+    reference's `write_matrix_image_v1_mask` path (utility.py:2231-2292).
+    """
     rows, cols = flat_index_order(H0, W0, is_diag)
+    if keep is not None:
+        rows, cols = rows[keep], cols[keep]
     if values.shape[0] != rows.shape[0]:
         raise ValueError(f"expected {rows.shape[0]} samples for "
                          f"{H0}x{W0} (diag={is_diag}), got {values.shape[0]}")

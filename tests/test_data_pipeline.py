@@ -195,7 +195,8 @@ def test_rasterize_diag_region(rng):
     cfg = PhyloHMRFConfig(filter_mode=99, filter_sigma=0.0)  # no smoothing
     pos = np.array([[3, 3], [3, 4], [4, 4], [4, 6], [6, 6]])
     x = rng.random((5, 2)) + 1.0
-    values, H0, W0, s1, s2 = rasterize_region(x, pos, True, cfg)
+    values, H0, W0, s1, s2, keep = rasterize_region(x, pos, True, cfg)
+    assert keep is None
     assert (H0, W0, s1, s2) == (4, 4, 3, 3)
     assert values.shape == (10, 2)       # upper-tri of 4x4
     # sample (3,3) -> flat index 0
@@ -252,3 +253,25 @@ def test_pipeline_real_chr22():
     assert (v >= 0).all()
     # most pixels should be nonzero after union-fill + interpolation
     assert (v.max(axis=1) > 0).mean() > 0.5
+
+
+def test_observed_mask_mode(tiny_dataset):
+    d = tiny_dataset
+    cfg = PhyloHMRFConfig(pad_h=8, pad_w=8, mask_mode="observed")
+    regions, _ = load_dataset([1], cfg, d["sizes"], d["paths"],
+                              d["species"], str(d["tmp_path"]))
+    r = regions[0]
+    structural_n = r.H0 * (r.H0 + 1) // 2
+    # the tiny dataset covers only a 12-bin band around the diagonal:
+    # far-off-diagonal interior pixels must be dropped
+    assert r.n_samples < structural_n
+    assert np.isfinite(r.flat_values()).all()
+    # dropped pixels carry no mask/edges
+    assert r.mask.sum() == r.n_samples
+
+    # cache roundtrip preserves the subset
+    out = str(d["tmp_path"] / "cache_obs")
+    save_cache(regions, out, cfg)
+    regions2 = load_cache(out, cfg)
+    assert regions2[0].n_samples == r.n_samples
+    np.testing.assert_array_equal(regions2[0].flat_rows, r.flat_rows)
