@@ -184,6 +184,19 @@ def flat_edge_list(region: RegionGrid, num_neighbor: int = 8) -> np.ndarray:
     return edges[order]
 
 
+def save_edge_dump(region: RegionGrid, path: str, beta1: float | None = None,
+                   num_neighbor: int = 8) -> None:
+    """Write the reference-format edge-list debug dump
+    (`edge_weightList_undirected.txt`, reference phylo_hmrf.py:631-636 /
+    utility.py:1964-1971): tab-separated id1, id2, weight rows. With beta1
+    given, weights are exp(-beta1 * d); otherwise raw distances."""
+    edges = flat_edge_list(region, num_neighbor)
+    w = np.exp(-beta1 * edges[:, 2]) if beta1 is not None else edges[:, 2]
+    out = np.column_stack([edges[:, 0].astype(np.int64),
+                           edges[:, 1].astype(np.int64), w])
+    np.savetxt(path, out, fmt=["%d", "%d", "%.6f"], delimiter="\t")
+
+
 def pack_regions(regions: list, pad_h: int = 8, pad_w: int = 128):
     """Bucket regions by padded shape and stack each bucket along a leading
     axis for vmapped/sharded E-steps. Returns

@@ -132,3 +132,18 @@ def test_fit_accumulate_tracks_states(example_tree, rng):
     res = model.fit_accumulate(verbose=False)
     assert res.state_list is not None
     assert res.state_list.shape == (res.n_iters, model.n_samples)
+
+
+def test_edge_dump_format(rng, tmp_path):
+    from phylo_hmrf_tpu.data.regions import (flat_index_order,
+                                             region_from_samples,
+                                             save_edge_dump)
+    rows, cols = flat_index_order(6, 6, True)
+    vals = (rng.random((rows.shape[0], 2)) + 0.1).astype(np.float32)
+    region = region_from_samples(vals, 6, 6, True, pad_h=2, pad_w=2)
+    f = tmp_path / "edge_weightList_undirected.txt"
+    save_edge_dump(region, str(f), beta1=0.5)
+    data = np.loadtxt(f)
+    assert data.shape[1] == 3
+    assert (data[:, 0] < data[:, 1]).all()       # id1 < id2 ordering
+    assert ((data[:, 2] > 0) & (data[:, 2] <= 1)).all()   # exp(-0.5 d)
