@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
 
 import numpy as np
 
@@ -55,7 +54,12 @@ def parse_args(argv=None):
     a("--chromvec", default="1")
     a("--output", default=".")
     # TPU-native extensions
-    a("--labeler", default="mf_icm", choices=["mf_icm", "icm", "swap"])
+    a("--labeler", default="mf_icm",
+      choices=["mf_icm", "icm", "swap_tpu", "swap"])
+    a("--final_polish", default="1",
+      help="1: polish the final state map with one exact on-device swap")
+    a("--shard_mode", default="region", choices=["region", "spatial"])
+    a("--mask_mode", default="structural", choices=["structural", "observed"])
     a("--seed", default="0")
     a("--n_devices", default="0", help="0 = all available devices")
     a("--checkpoint", default="", help="EM checkpoint file; enables resume")
@@ -90,6 +94,8 @@ def run(opts) -> str:
         filter_sigma=float(opts.filter_sigma),
         diagonal_type=int(opts.dtype),
         labeler=opts.labeler, seed=int(opts.seed),
+        final_polish=bool(int(opts.final_polish)),
+        shard_mode=opts.shard_mode, mask_mode=opts.mask_mode,
         run_id=int(opts.run_id), output_path=opts.output,
         annotation=opts.annotation)
 

@@ -21,7 +21,7 @@ from phylo_hmrf_tpu.data.contacts import (
     x_max_from_quantiles)
 from phylo_hmrf_tpu.data.filters import hole_fill, smooth_image
 from phylo_hmrf_tpu.data.regions import (
-    RegionGrid, flat_index_order, region_from_samples)
+    flat_index_order, region_from_samples)
 from phylo_hmrf_tpu.data.synteny import (
     select_region_samples, split_regions, read_synteny_file)
 

@@ -19,8 +19,6 @@ minima — the cheap stand-in for the global moves graph cuts would make.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import optax
 
 
 def box_encode(p: jnp.ndarray, lo: float, hi: float) -> jnp.ndarray:

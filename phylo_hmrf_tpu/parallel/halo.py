@@ -29,8 +29,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from phylo_hmrf_tpu.config import SMALL_EPS
 from phylo_hmrf_tpu.models.emission import gaussian_logpdf
 from phylo_hmrf_tpu.ops.potts import (
-    neighbor_sums, neighbor_sums_soft, posteriors_and_costs,
-    sufficient_stats, valid_maps, weight_maps)
+    neighbor_sums, neighbor_sums_soft, sufficient_stats, valid_maps,
+    weight_maps)
 
 
 def _perms(axis: str):

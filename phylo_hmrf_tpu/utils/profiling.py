@@ -14,7 +14,6 @@ import os
 import time
 from collections import defaultdict
 
-import numpy as np
 
 
 class PhaseTimer:

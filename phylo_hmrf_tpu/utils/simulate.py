@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from phylo_hmrf_tpu.data.regions import RegionGrid, flat_index_order, \
+from phylo_hmrf_tpu.data.regions import flat_index_order, \
     region_from_samples
 from phylo_hmrf_tpu.tree import PhyloTree
 
