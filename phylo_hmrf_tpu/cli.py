@@ -64,6 +64,8 @@ def parse_args(argv=None):
     a("--n_devices", default="0", help="0 = all available devices")
     a("--checkpoint", default="", help="EM checkpoint file; enables resume")
     a("--n_workers", default="0", help="data-loading process pool size")
+    a("--profile_dir", default="", help="write a jax.profiler trace here")
+    a("--cost_log", default="", help="JSONL per-iteration cost log file")
     return p.parse_args(argv)
 
 
@@ -151,8 +153,12 @@ def run(opts) -> str:
 
     model = PhyloHMRF(tree, regions, cfg, mesh=mesh)
     ckpt_path = opts.checkpoint or None
-    result = model.fit(checkpoint_path=ckpt_path,
-                       resume=bool(ckpt_path))
+    from phylo_hmrf_tpu.utils.profiling import jax_trace
+    with jax_trace(opts.profile_dir or None):
+        result = model.fit(checkpoint_path=ckpt_path,
+                           resume=bool(ckpt_path),
+                           cost_log=opts.cost_log or None)
+    print("phase timings:", model.timer.report())
 
     out_file = save_estimate(result, model.len_vec, opts.output,
                              cfg.run_id, cfg.lambda_0, cfg.n_states)
