@@ -1,0 +1,108 @@
+"""Generate a self-contained synthetic example dataset in the reference's
+input layout, so the canonical invocation runs out of the box:
+
+    python examples/make_synthetic_example.py --out example_synth
+    python -m phylo_hmrf_tpu.cli -n 8 -p example_synth --chromvec 21,22 \
+        --miter 20 --output out_synth
+
+Uses the example 4-species tree topology and OU emissions over a Potts
+state map, written as per-species contact lists (chrN.50K.txt), chrom.sizes,
+synteny files, and the four tree/species/path files.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="example_synth")
+    ap.add_argument("--n-bins", type=int, default=120)
+    ap.add_argument("--n-states", type=int, default=5)
+    ap.add_argument("--resolution", type=int, default=50000)
+    ap.add_argument("--chroms", default="21,22")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from phylo_hmrf_tpu.tree import build_tree
+    from phylo_hmrf_tpu.utils.simulate import (
+        ou_moments_np, sample_potts_labels)
+
+    rng = np.random.default_rng(args.seed)
+    out = args.out
+    os.makedirs(out, exist_ok=True)
+
+    # example 4-species tree (same topology as the reference example input)
+    edges = [(0, 1), (1, 2), (1, 3), (3, 4), (4, 5), (4, 6), (3, 7)]
+    species = ["speciesA", "speciesB", "speciesC", "speciesD"]
+    tree = build_tree(edges, branch_lengths=[0, 32, 20, 6, 6, 6, 12],
+                      species=species)
+
+    with open(os.path.join(out, "edge.1.txt"), "w") as f:
+        for a, b in edges:
+            f.write(f"{a}\t{b}\n")
+    with open(os.path.join(out, "branch_length.1.txt"), "w") as f:
+        f.write("\t".join(str(v) for v in [0, 32, 20, 6, 6, 6, 12]) + "\n")
+    with open(os.path.join(out, "species_name.1.txt"), "w") as f:
+        f.write("\n".join(species) + "\n")
+
+    paths = []
+    for s in species:
+        d = os.path.join(out, f"hic_{s}")
+        os.makedirs(d, exist_ok=True)
+        paths.append(d)
+    with open(os.path.join(out, "path_list.txt"), "w") as f:
+        f.write("\n".join(os.path.abspath(p) for p in paths) + "\n")
+
+    res = args.resolution
+    n = args.n_bins
+    K = args.n_states
+    chroms = [int(c) for c in args.chroms.split(",")]
+
+    # per-state OU params with spread optima
+    params = rng.random((K, tree.n_params)) * 0.5 + 0.2
+    for c in range(K):
+        params[c, tree.n_params - tree.n_nodes:] = 0.8 * c / K + 0.4
+    moments = [ou_moments_np(params[c], tree) for c in range(K)]
+
+    with open(os.path.join(out, "hg38.chrom.sizes"), "w") as f:
+        for c in chroms:
+            f.write(f"chr{c}\t{n * res}\n")
+
+    for c in chroms:
+        labels = sample_potts_labels(rng, n, n, K, beta=1.2, n_sweeps=15)
+        labels = np.triu(labels) + np.triu(labels, 1).T
+        ii, jj = np.triu_indices(n)
+        # distance-decay background + state-dependent signal per species
+        decay = np.exp(-0.05 * (jj - ii))
+        for si, (s, d) in enumerate(zip(species, paths)):
+            m = np.array([moments[k][0][si] for k in range(K)])
+            v = np.array([moments[k][1][si, si] for k in range(K)]) + 1e-3
+            sig = np.expm1(np.abs(
+                m[labels[ii, jj]]
+                + rng.standard_normal(ii.shape[0]) * np.sqrt(
+                    v[labels[ii, jj]])))
+            values = 50.0 * decay * (0.3 + sig)
+            # drop a random 10% to exercise union alignment + hole fill
+            keep = rng.random(ii.shape[0]) > 0.1
+            with open(os.path.join(d, f"chr{c}.{res // 1000}K.txt"),
+                      "w") as f:
+                for a, b, val in zip(ii[keep], jj[keep], values[keep]):
+                    f.write(f"{a * res}\t{b * res}\t{val:.4f}\n")
+
+        start, stop = 2 * res, (n - 2) * res
+        with open(os.path.join(out, f"chr{c}.synteny.txt"), "w") as f:
+            f.write(f"{start}\t{stop}\t{stop - start}\n")
+
+    np.save(os.path.join(out, "true_params.npy"), params)
+    print(f"wrote synthetic example to {out}/ "
+          f"({len(chroms)} chroms x {len(species)} species, {n} bins)")
+
+
+if __name__ == "__main__":
+    main()

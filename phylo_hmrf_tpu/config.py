@@ -8,7 +8,6 @@ repo); where the reference README and code disagree (SURVEY.md section 5) the
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
 
 
 @dataclasses.dataclass
@@ -52,8 +51,8 @@ class PhyloHMRFConfig:
                                        # exact on-device swap pass
     swap_tpu_cycles: int = 2           # swap cycles per swap_tpu E-step
     icm_max_sweeps: int = 60           # upper bound on checkerboard ICM sweeps per E-step
-    icm_beta_ramp: int = 4             # sweeps over which beta ramps 0.25->1.0 x target (cold start only)
-    swap_max_cycles: int = 5000        # parity with reference graph-cut budget
+    swap_max_cycles: int = 5000        # C++ swap backend cycle budget (parity
+                                       # with the reference graph-cut budget)
 
     # ---- data pipeline ----
     resolution: int = 50000            # --resolution
@@ -81,7 +80,6 @@ class PhyloHMRFConfig:
                                        # (MiniBatchKMeans, reference parity)
     seed: int = 0
     dtype: str = "float32"
-    compute_posteriors_f64: bool = False
     mstep_iters: int = 150             # L-BFGS iterations per M-step solve
     mstep_retries: int = 10            # retry budget on NaN/out-of-bounds params (parity)
     param_lo: float = 1e-16            # SLSQP-equivalent box (reference `phylo_hmrf.py:1365`)
@@ -90,8 +88,6 @@ class PhyloHMRFConfig:
     pad_w: int = 128
 
     # ---- parallelism ----
-    mesh_shape: Sequence[int] = ()     # empty = single device
-    mesh_axes: Sequence[str] = ("data",)
     shard_mode: str = "region"         # "region": regions over devices;
                                        # "spatial": each region's rows over
                                        # devices (halo exchange — for few
