@@ -114,8 +114,9 @@ def bench_tpu(tree, region, means, covs, warm, iters):
     covs_j = jnp.asarray(covs, jnp.float32)
 
     estep = jax.jit(functools.partial(
-        _estep_bucket, beta=1.0, beta1=0.5, weighted_pp=False,
-        labeler="mf_icm", max_sweeps=60))
+        _estep_bucket, weighted_pp=False,
+        labeler="mf_icm", max_sweeps=60, use_pallas=True))
+    beta_j, beta1_j = jnp.float32(1.0), jnp.float32(0.5)
 
     n_samples = float(region.n_samples)
 
@@ -137,7 +138,7 @@ def bench_tpu(tree, region, means, covs, warm, iters):
         acc = jnp.float32(0)
         for _ in range(n):
             labels, (post, obs, obs2), costs, nv = estep(
-                img, mask, dmaps, warm, means_j, covs_j)
+                img, mask, dmaps, warm, means_j, covs_j, beta_j, beta1_j)
             params, fval = mstep(p0, post, obs, obs2)
             warm = labels
             acc = acc + jnp.sum(params) + jnp.sum(costs)

@@ -60,7 +60,7 @@ class FitResult:
     state_list: np.ndarray | None = None   # (n_iters, N) when track_states
 
 
-def _estep_bucket(img, mask, dmaps, warm, means, covars, *, beta, beta1,
+def _estep_bucket(img, mask, dmaps, warm, means, covars, beta, beta1, *,
                   weighted_pp: bool, labeler: str, max_sweeps: int,
                   use_pallas: bool = False):
     """One jitted E-step over a stacked region bucket.
@@ -110,7 +110,7 @@ def _estep_bucket(img, mask, dmaps, warm, means, covars, *, beta, beta1,
             n_valid)
 
 
-def _finish_bucket(img, mask, dmaps, labels, means, covars, *, beta, beta1,
+def _finish_bucket(img, mask, dmaps, labels, means, covars, beta, beta1, *,
                    weighted_pp: bool):
     """Posterior/stats pass for externally supplied labels (swap backend)."""
     logprob = gaussian_logpdf(img, means, covars)
@@ -128,6 +128,44 @@ def _finish_bucket(img, mask, dmaps, labels, means, covars, *, beta, beta1,
     post, obs, obs2, cost_vec, n_valid = jax.vmap(one)(
         dmaps, mask, labels, logprob, img)
     return (post.sum(0), obs.sum(0), obs2.sum(0)), cost_vec, n_valid
+
+
+# ---------------------------------------------------------------------------
+# module-level jitted entry points. Closures capture nothing model-specific:
+# scalars (beta, n_samples, ...) are traced and the tree is a hashable static
+# argument, so every PhyloHMRF instance in a process shares compiled kernels.
+# ---------------------------------------------------------------------------
+
+_ESTEP_JIT = jax.jit(_estep_bucket, static_argnames=(
+    "weighted_pp", "labeler", "max_sweeps", "use_pallas"))
+_FINISH_JIT = jax.jit(_finish_bucket, static_argnames=("weighted_pp",))
+_UNARY_JIT = jax.jit(lambda img, means, covars: -gaussian_logpdf(
+    img, means, covars))
+
+
+@functools.partial(jax.jit, static_argnames=("tree", "lo", "hi", "iters"))
+def _mstep_solve(p0, post, obs, obs2, n_samples, lambda_0, min_covar, *,
+                 tree, lo, hi, iters):
+    def one(p0_c, post_c, obs_c, obs2_c):
+        def fn(p):
+            return ou_nll_stats(p, post_c, obs_c, obs2_c, tree, n_samples,
+                                lambda_0, min_covar)
+        return minimize_boxed(fn, p0_c, lo, hi, iters)
+    return jax.vmap(one)(p0, post, obs, obs2)
+
+
+@functools.partial(jax.jit, static_argnames=("tree", "lo", "hi", "iters"))
+def _init_solve(p0, xbar, xxT, min_covar, *, tree, lo, hi, iters):
+    def one(p0_c, xbar_c, xxT_c):
+        def fn(p):
+            return ou_nll_init(p, xbar_c, xxT_c, tree, min_covar)
+        return minimize_boxed(fn, p0_c, lo, hi, iters)
+    return jax.vmap(one)(p0, xbar, xxT)
+
+
+@functools.partial(jax.jit, static_argnames=("tree",))
+def _moments(params, *, tree):
+    return ou_moments_batch(params, tree)
 
 
 class PhyloHMRF:
@@ -197,13 +235,15 @@ class PhyloHMRF:
             use_pallas = jax.default_backend() == "tpu"
         else:
             use_pallas = cfg.use_pallas == "on"
+        self._beta = jnp.float32(cfg.beta)
+        self._beta1 = jnp.float32(cfg.beta1)
+        self._labeler_static = labeler
+        self._use_pallas = use_pallas
         if self._spatial:
             from jax.sharding import NamedSharding, PartitionSpec
             from phylo_hmrf_tpu.parallel.halo import make_rowsharded_estep
-            self._estep_jit = None
             self._spatial_estep = make_rowsharded_estep(
-                self.mesh, beta=cfg.beta, beta1=cfg.beta1,
-                weighted_pp=(cfg.estimate_type == 3),
+                self.mesh, weighted_pp=(cfg.estimate_type == 3),
                 max_sweeps=cfg.icm_max_sweeps)
             rows = NamedSharding(self.mesh, PartitionSpec("data"))
             rows1 = NamedSharding(self.mesh, PartitionSpec(None, "data"))
@@ -214,42 +254,10 @@ class PhyloHMRF:
                 for r in self.regions]
         elif self._n_shards > 1:
             from phylo_hmrf_tpu.parallel.sharding import make_sharded_estep
-            self._estep_jit = make_sharded_estep(
-                self.mesh, beta=cfg.beta, beta1=cfg.beta1,
-                weighted_pp=(cfg.estimate_type == 3), labeler=labeler,
-                max_sweeps=cfg.icm_max_sweeps, use_pallas=use_pallas)
-        else:
-            self._estep_jit = jax.jit(functools.partial(
-                _estep_bucket, beta=cfg.beta, beta1=cfg.beta1,
-                weighted_pp=(cfg.estimate_type == 3), labeler=labeler,
-                max_sweeps=cfg.icm_max_sweeps, use_pallas=use_pallas))
-        self._finish_jit = jax.jit(functools.partial(
-            _finish_bucket, beta=cfg.beta, beta1=cfg.beta1,
-            weighted_pp=(cfg.estimate_type == 3)))
-        self._unary_jit = jax.jit(
-            lambda img, means, covars: -gaussian_logpdf(img, means, covars))
-
-        tree_ = self.tree
-
-        def _solve_state(p0, post_c, obs_c, obs2_c):
-            def fn(p):
-                return ou_nll_stats(p, post_c, obs_c, obs2_c, tree_,
-                                    float(self.n_samples), cfg.lambda_0,
-                                    cfg.min_covar)
-            return minimize_boxed(fn, p0, cfg.param_lo, cfg.param_hi,
-                                  cfg.mstep_iters)
-
-        self._mstep_jit = jax.jit(jax.vmap(_solve_state))
-
-        def _solve_init(p0, xbar_c, xxT_c):
-            def fn(p):
-                return ou_nll_init(p, xbar_c, xxT_c, tree_, cfg.min_covar)
-            return minimize_boxed(fn, p0, cfg.param_lo, cfg.param_hi,
-                                  cfg.mstep_iters)
-
-        self._init_fit_jit = jax.jit(jax.vmap(_solve_init))
-        self._moments_jit = jax.jit(
-            functools.partial(ou_moments_batch, tree=tree_))
+            self._sharded_estep = make_sharded_estep(
+                self.mesh, weighted_pp=(cfg.estimate_type == 3),
+                labeler=labeler, max_sweeps=cfg.icm_max_sweeps,
+                use_pallas=use_pallas)
 
         # mutable fit state
         self._rng = np.random.default_rng(cfg.seed)
@@ -325,9 +333,12 @@ class PhyloHMRF:
             for c in range(K)])
 
         for attempt in range(cfg.mstep_retries):
-            solved, _ = self._init_fit_jit(
-                jnp.asarray(guesses, jnp.float32), jnp.asarray(xbar, jnp.float32),
-                jnp.asarray(xxT, jnp.float32))
+            solved, _ = _init_solve(
+                jnp.asarray(guesses, jnp.float32),
+                jnp.asarray(xbar, jnp.float32),
+                jnp.asarray(xxT, jnp.float32), jnp.float32(cfg.min_covar),
+                tree=self.tree, lo=cfg.param_lo, hi=cfg.param_hi,
+                iters=cfg.mstep_iters)
             solved = np.asarray(solved, np.float64)
             bad = []
             for c in range(K):
@@ -377,7 +388,8 @@ class PhyloHMRF:
             for ri, (img, mask, dmaps) in enumerate(self._spatial_arrays):
                 warm = jax.device_put(jnp.asarray(warm_grids[ri]), rows)
                 labels, (p, o, o2), cv, nv = self._spatial_estep(
-                    img, mask, dmaps, warm, means_j, covars_j)
+                    img, mask, dmaps, warm, means_j, covars_j,
+                    self._beta, self._beta1)
                 post += np.asarray(p, np.float64)
                 obs += np.asarray(o, np.float64)
                 obs2 += np.asarray(o2, np.float64)
@@ -397,9 +409,10 @@ class PhyloHMRF:
                     labels_np = np.concatenate(
                         [labels_np, np.zeros((r_pad,) + labels_np.shape[1:],
                                              labels_np.dtype)], axis=0)
-                (p, o, o2), cv, nv = self._finish_jit(
+                (p, o, o2), cv, nv = _FINISH_JIT(
                     img, mask, dmaps, jnp.asarray(labels_np), means_j,
-                    covars_j)
+                    covars_j, self._beta, self._beta1,
+                    weighted_pp=(cfg.estimate_type == 3))
                 post += np.asarray(p, np.float64)
                 obs += np.asarray(o, np.float64)
                 obs2 += np.asarray(o2, np.float64)
@@ -430,12 +443,24 @@ class PhyloHMRF:
                         [labels_np, np.zeros((r_pad,) + labels_np.shape[1:],
                                              labels_np.dtype)], axis=0)
                 labels_j = jnp.asarray(labels_np)
-                (p, o, o2), cv, nv = self._finish_jit(
-                    img, mask, dmaps, labels_j, means_j, covars_j)
+                (p, o, o2), cv, nv = _FINISH_JIT(
+                    img, mask, dmaps, labels_j, means_j, covars_j,
+                    self._beta, self._beta1,
+                    weighted_pp=(cfg.estimate_type == 3))
                 out_labels = labels
+            elif self._n_shards > 1:
+                labels_j, (p, o, o2), cv, nv = self._sharded_estep(
+                    img, mask, dmaps, warm, means_j, covars_j,
+                    self._beta, self._beta1)
+                out_labels = np.asarray(labels_j)
             else:
-                labels_j, (p, o, o2), cv, nv = self._estep_jit(
-                    img, mask, dmaps, warm, means_j, covars_j)
+                labels_j, (p, o, o2), cv, nv = _ESTEP_JIT(
+                    img, mask, dmaps, warm, means_j, covars_j,
+                    self._beta, self._beta1,
+                    weighted_pp=(cfg.estimate_type == 3),
+                    labeler=self._labeler_static,
+                    max_sweeps=cfg.icm_max_sweeps,
+                    use_pallas=self._use_pallas)
                 out_labels = np.asarray(labels_j)
             post += np.asarray(p, np.float64)
             obs += np.asarray(o, np.float64)
@@ -456,7 +481,7 @@ class PhyloHMRF:
         cfg = self.cfg
         out = [None] * len(self.regions)
         for ri, r in enumerate(self.regions):
-            unary = self._unary_jit(jnp.asarray(r.img), means_j, covars_j)
+            unary = _UNARY_JIT(jnp.asarray(r.img), means_j, covars_j)
             wm = weight_maps(jnp.asarray(r.dmaps), cfg.beta1)
             labels = exact_labels(unary, wm, jnp.asarray(r.mask),
                                   jnp.asarray(warm_grids[ri]), cfg.beta,
@@ -513,10 +538,13 @@ class PhyloHMRF:
         guess = self._blend_guess()
         pending = np.ones(self.n_states, dtype=bool)
         for attempt in range(cfg.mstep_retries):
-            solved, _ = self._mstep_jit(
+            solved, _ = _mstep_solve(
                 jnp.asarray(guess, jnp.float32),
                 jnp.asarray(post, jnp.float32), jnp.asarray(obs, jnp.float32),
-                jnp.asarray(obs2, jnp.float32))
+                jnp.asarray(obs2, jnp.float32),
+                jnp.float32(self.n_samples), jnp.float32(cfg.lambda_0),
+                jnp.float32(cfg.min_covar), tree=self.tree,
+                lo=cfg.param_lo, hi=cfg.param_hi, iters=cfg.mstep_iters)
             solved = np.asarray(solved, np.float64)
             still_bad = np.zeros_like(pending)
             for c in range(self.n_states):
@@ -535,7 +563,8 @@ class PhyloHMRF:
             params[pending] = self.init_ou_params[pending]
 
         self.params_vec = params
-        means, covars = self._moments_jit(jnp.asarray(params, jnp.float32))
+        means, covars = _moments(jnp.asarray(params, jnp.float32),
+                                 tree=self.tree)
         self.means_ = np.asarray(means, np.float64)
         self.covars_ = (np.asarray(covars, np.float64)
                         + cfg.min_covar * np.eye(self.n_features))
@@ -671,8 +700,8 @@ class PhyloHMRF:
 
         # restore: params_vec1 = best-from-3; moments from overall best
         self.params_vec = params_best1.copy()
-        means, covars = self._moments_jit(
-            jnp.asarray(params_best, jnp.float32))
+        means, covars = _moments(jnp.asarray(params_best, jnp.float32),
+                                 tree=self.tree)
         self.means_ = np.asarray(means, np.float64)
         self.covars_ = (np.asarray(covars, np.float64)
                         + cfg.min_covar * np.eye(self.n_features))

@@ -48,11 +48,12 @@ def _shift_cols(x: jnp.ndarray, dc: int) -> jnp.ndarray:
 
 
 def _mf_sweep_kernel(scalars_ref, base_ref, qp_ref, wp_ref, out_ref,
-                     q_scratch, w_scratch, sem, *, beta: float, tile_h: int):
+                     q_scratch, w_scratch, sem, *, tile_h: int):
     r = pl.program_id(0)      # region within the batch
     i = pl.program_id(1)      # row tile
     T = scalars_ref[0, 0]
     damp = scalars_ref[1, 0]
+    beta = scalars_ref[2, 0]
 
     # 8-row halo on each side keeps every DMA slab 8-row aligned (Mosaic
     # sublane tiling); the center rows sit at offset _HALO
@@ -124,9 +125,9 @@ def _pick_tile_h(H: int, K: int, W: int,
     return 8
 
 
-@functools.partial(jax.jit, static_argnames=("beta", "interpret"))
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def mf_sweep_pallas(q: jnp.ndarray, base: jnp.ndarray, wmaps: jnp.ndarray,
-                    T, damp, *, beta: float,
+                    T, damp, beta, *,
                     interpret: bool = False) -> jnp.ndarray:
     """One mean-field sweep over a region batch.
 
@@ -143,13 +144,14 @@ def mf_sweep_pallas(q: jnp.ndarray, base: jnp.ndarray, wmaps: jnp.ndarray,
     qp = jnp.pad(q, pad)
     wp = jnp.pad(wmaps, pad)
     scalars = jnp.stack([jnp.asarray(T, q.dtype),
-                         jnp.asarray(damp, q.dtype)])
+                         jnp.asarray(damp, q.dtype),
+                         jnp.asarray(beta, q.dtype)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(R, H // tile_h),
         in_specs=[
-            pl.BlockSpec((2, 1), lambda r, i: (0, 0),
+            pl.BlockSpec((3, 1), lambda r, i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K, tile_h, W), lambda r, i: (r, 0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -164,7 +166,7 @@ def mf_sweep_pallas(q: jnp.ndarray, base: jnp.ndarray, wmaps: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_mf_sweep_kernel, beta=beta, tile_h=tile_h)
+    kernel = functools.partial(_mf_sweep_kernel, tile_h=tile_h)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -175,7 +177,7 @@ def mf_sweep_pallas(q: jnp.ndarray, base: jnp.ndarray, wmaps: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((R, K, H, W), q.dtype),
         interpret=interpret,
         **kwargs,
-    )(scalars.reshape(2, 1), base, qp, wp)
+    )(scalars.reshape(3, 1), base, qp, wp)
     return out[0] if squeeze else out
 
 
@@ -210,7 +212,7 @@ def mean_field_pallas(unary: jnp.ndarray, wmaps: jnp.ndarray, beta: float,
     temps_arr = jnp.repeat(jnp.asarray(temps, unary.dtype), iters_per_temp)
 
     def step(qk, T):
-        return mf_sweep_pallas(qk, base, wmaps, T, damping, beta=beta,
+        return mf_sweep_pallas(qk, base, wmaps, T, damping, beta,
                                interpret=interpret), None
 
     qk, _ = jax.lax.scan(step, qk, temps_arr)

@@ -131,8 +131,8 @@ def _energy_halo(labels, unary, wmaps_local, mask, beta, axis):
     return jax.lax.psum(e, axis)
 
 
-def estep_region_rowsharded(img, mask, dmaps, warm, means, covars, *,
-                            beta: float, beta1: float, weighted_pp: bool,
+def estep_region_rowsharded(img, mask, dmaps, warm, means, covars, beta,
+                            beta1, *, weighted_pp: bool,
                             max_sweeps: int, axis: str = "data",
                             temps=(4.0, 2.0, 1.0, 0.5, 0.25),
                             iters_per_temp: int = 8, damping: float = 0.5):
@@ -191,16 +191,17 @@ def estep_region_rowsharded(img, mask, dmaps, warm, means, covars, *,
     return labels, stats, cost_vec, n_valid
 
 
-def make_rowsharded_estep(mesh: Mesh, *, beta, beta1, weighted_pp: bool,
+def make_rowsharded_estep(mesh: Mesh, *, weighted_pp: bool,
                           max_sweeps: int, axis: str = "data"):
     """jitted shard_map wrapper: global shapes in, global shapes out.
     img (H, W, F) with H divisible by mesh size (pad rows with mask=False)."""
     body = functools.partial(
-        estep_region_rowsharded, beta=beta, beta1=beta1,
+        estep_region_rowsharded,
         weighted_pp=weighted_pp, max_sweeps=max_sweeps, axis=axis)
     sharded = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(None, axis), P(axis), P(), P()),
+        in_specs=(P(axis), P(axis), P(None, axis), P(axis), P(), P(),
+                  P(), P()),
         out_specs=(P(axis), (P(), P(), P()), P(), P()),
         check_vma=False)
     return jax.jit(sharded)

@@ -41,7 +41,7 @@ def pad_bucket_to_devices(img, mask, dmaps, n_devices: int):
     return img, mask, dmaps, R
 
 
-def make_sharded_estep(mesh: Mesh, *, beta, beta1, weighted_pp: bool,
+def make_sharded_estep(mesh: Mesh, *, weighted_pp: bool,
                        labeler: str, max_sweeps: int,
                        use_pallas: bool = False, axis: str = "data"):
     """Build a jitted, shard_mapped E-step over `mesh`.
@@ -52,18 +52,18 @@ def make_sharded_estep(mesh: Mesh, *, beta, beta1, weighted_pp: bool,
     (identical on every device)."""
 
     local = functools.partial(
-        _estep_bucket, beta=beta, beta1=beta1, weighted_pp=weighted_pp,
+        _estep_bucket, weighted_pp=weighted_pp,
         labeler=labeler, max_sweeps=max_sweeps, use_pallas=use_pallas)
 
-    def shard_fn(img, mask, dmaps, warm, means, covars):
+    def shard_fn(img, mask, dmaps, warm, means, covars, beta, beta1):
         labels, stats, costs, nvalid = local(
-            img, mask, dmaps, warm, means, covars)
+            img, mask, dmaps, warm, means, covars, beta, beta1)
         stats = tuple(jax.lax.psum(s, axis) for s in stats)
         return labels, stats, costs, nvalid
 
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P(), P()),
         out_specs=(P(axis), (P(), P(), P()), P(axis), P(axis)),
         check_vma=False)
     return jax.jit(sharded)

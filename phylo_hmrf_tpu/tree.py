@@ -28,9 +28,12 @@ import dataclasses
 import numpy as np
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class PhyloTree:
-    """Static tree structure. All arrays are numpy (host) constants."""
+    """Static tree structure. All arrays are numpy (host) constants.
+
+    Hashable by content so it can be a jit static argument — two trees built
+    from the same edge list share compiled kernels."""
 
     n_nodes: int
     parent: np.ndarray        # (n_nodes,) int32; parent[root] == root
@@ -44,6 +47,18 @@ class PhyloTree:
     pair_list: np.ndarray     # (n_pairs, 3) int32 — [leaf_node_i, leaf_node_j, mrca]
     branch_lengths: np.ndarray | None = None   # (n_branches,) float64 or None
     species: tuple = ()
+
+    def _content(self) -> tuple:
+        return (self.n_nodes, self.parent.tobytes(),
+                self.topo_order.tobytes(), self.leaf_nodes.tobytes(),
+                self.A2.tobytes(), self.pair_list.tobytes())
+
+    def __hash__(self):
+        return hash(self._content())
+
+    def __eq__(self, other):
+        return (isinstance(other, PhyloTree)
+                and self._content() == other._content())
 
     @property
     def n_leaves(self) -> int:

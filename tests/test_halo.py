@@ -34,20 +34,21 @@ def _problem(rng, H0=64, W0=64, K=4, F=3, is_diag=True):
 @pytest.mark.parametrize("is_diag", [True, False])
 def test_rowsharded_matches_single(example_tree, rng, mesh8, is_diag):
     region, means, covs, warm = _problem(rng, is_diag=is_diag)
-    kw = dict(beta=1.0, beta1=0.5, weighted_pp=False, max_sweeps=40)
+    kw = dict(weighted_pp=False, max_sweeps=40)
+    beta, beta1 = jnp.float32(1.0), jnp.float32(0.5)
 
     single = jax.jit(functools.partial(_estep_bucket, labeler="mf_icm",
                                        use_pallas=False, **kw))
     l1, s1, c1, n1 = single(
         jnp.asarray(region.img[None]), jnp.asarray(region.mask[None]),
         jnp.asarray(region.dmaps[None]), jnp.asarray(warm[None]),
-        jnp.asarray(means), jnp.asarray(covs))
+        jnp.asarray(means), jnp.asarray(covs), beta, beta1)
 
     sharded = make_rowsharded_estep(mesh8, **kw)
     l2, s2, c2, n2 = sharded(
         jnp.asarray(region.img), jnp.asarray(region.mask),
         jnp.asarray(region.dmaps), jnp.asarray(warm),
-        jnp.asarray(means), jnp.asarray(covs))
+        jnp.asarray(means), jnp.asarray(covs), beta, beta1)
 
     lab1 = np.asarray(l1[0])[region.mask]
     lab2 = np.asarray(l2)[region.mask]
@@ -67,19 +68,20 @@ def test_halo_energy_parity(example_tree, rng, mesh8):
     labeler's energy to within the parity gate (0.1%)."""
     from phylo_hmrf_tpu.ops.potts import potts_energy, weight_maps
     region, means, covs, warm = _problem(rng, H0=64, W0=64)
-    kw = dict(beta=1.0, beta1=0.5, weighted_pp=False, max_sweeps=40)
+    kw = dict(weighted_pp=False, max_sweeps=40)
+    beta, beta1 = jnp.float32(1.0), jnp.float32(0.5)
 
     single = jax.jit(functools.partial(_estep_bucket, labeler="mf_icm",
                                        use_pallas=False, **kw))
     l1, _, _, _ = single(
         jnp.asarray(region.img[None]), jnp.asarray(region.mask[None]),
         jnp.asarray(region.dmaps[None]), jnp.asarray(warm[None]),
-        jnp.asarray(means), jnp.asarray(covs))
+        jnp.asarray(means), jnp.asarray(covs), beta, beta1)
     sharded = make_rowsharded_estep(mesh8, **kw)
     l2, _, _, _ = sharded(
         jnp.asarray(region.img), jnp.asarray(region.mask),
         jnp.asarray(region.dmaps), jnp.asarray(warm),
-        jnp.asarray(means), jnp.asarray(covs))
+        jnp.asarray(means), jnp.asarray(covs), beta, beta1)
 
     from phylo_hmrf_tpu.models.emission import gaussian_logpdf
     unary = -gaussian_logpdf(jnp.asarray(region.img), jnp.asarray(means),
