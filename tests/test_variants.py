@@ -52,3 +52,29 @@ def test_diagonal_type_filter(tmp_path, rng):
     _, pairs = split_regions(blocks, 3, 10, {3: (400, 600)})
     diag_only = [p for p in pairs if p[0] == p[2] and p[1] == p[3]]
     assert len(diag_only) == 2 and len(pairs) == 3
+
+
+def test_swap_cpu_labeler_em(example_tree, rng):
+    """End-to-end EM with the exact C++ swap backend (labeler='swap')."""
+    from phylo_hmrf_tpu import native
+    if not native.available():
+        pytest.skip("no native toolchain")
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=12)
+    cfg = PhyloHMRFConfig(n_states=3, max_iter=2, seed=1, mstep_iters=20,
+                          pad_h=4, pad_w=4, min_iter=0, threshold=1e-12,
+                          labeler="swap", final_polish=False)
+    model = PhyloHMRF(example_tree, regions, cfg)
+    result = model.fit(verbose=False)
+    assert np.isfinite(result.cost_vec).all()
+    assert result.labels.shape[0] == model.n_samples
+
+
+def test_swap_tpu_labeler_em(example_tree, rng):
+    """End-to-end EM with the exact on-device swap (labeler='swap_tpu')."""
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=12)
+    cfg = PhyloHMRFConfig(n_states=3, max_iter=2, seed=1, mstep_iters=20,
+                          pad_h=4, pad_w=4, min_iter=0, threshold=1e-12,
+                          labeler="swap_tpu")
+    model = PhyloHMRF(example_tree, regions, cfg)
+    result = model.fit(verbose=False)
+    assert np.isfinite(result.cost_vec).all()
