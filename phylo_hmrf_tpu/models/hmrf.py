@@ -749,3 +749,34 @@ class PhyloHMRF:
         return np.concatenate([
             self.regions[i].labels_to_flat(label_grids[i])
             for i in range(len(self.regions))])
+
+    def predict_proba(self, labels_flat: np.ndarray | None = None
+                      ) -> np.ndarray:
+        """Per-sample state posteriors (N, K) under the current parameters
+        (reference ``predict_proba`` / ``_predict_posteriors1``,
+        base.py:146-162, phylo_hmrf.py:324-332): the mean-field-style
+        normalization of exp(logprob - pairwise_potential) at the given (or
+        freshly predicted) labeling."""
+        from phylo_hmrf_tpu.ops.icm import label_optimize  # noqa: F401
+
+        cfg = self.cfg
+        if self.means_ is None:
+            raise RuntimeError("model not initialized/fit")
+        if labels_flat is None:
+            labels_flat = self.predict()
+        means_j = jnp.asarray(self.means_, jnp.float32)
+        covars_j = jnp.asarray(self.covars_, jnp.float32)
+        out = np.zeros((self.n_samples, self.n_states), np.float64)
+        for i, r in enumerate(self.regions):
+            flat = labels_flat[self.offsets[i]:self.offsets[i + 1]]
+            grid = r.labels_to_grid(flat)
+            logprob = -_UNARY_JIT(jnp.asarray(r.img), means_j, covars_j)
+            w_cut = weight_maps(jnp.asarray(r.dmaps), cfg.beta1)
+            w_pp = (w_cut if cfg.estimate_type == 3
+                    else valid_maps(jnp.asarray(r.dmaps)))
+            pp = pairwise_potential(jnp.asarray(grid), w_pp, self.n_states,
+                                    cfg.beta)
+            post = jax.nn.softmax(logprob - pp, axis=-1)
+            out[self.offsets[i]:self.offsets[i + 1]] = np.asarray(
+                post)[r.flat_rows, r.flat_cols]
+        return out

@@ -120,3 +120,17 @@ def test_final_polish_lowers_energy(example_tree, rng):
         return e
 
     assert energy(r_pol.labels) <= energy(r_plain.labels) + 1e-3
+
+
+def test_predict_proba(example_tree, rng):
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
+    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=2, seed=1,
+                          mstep_iters=20, pad_h=8, pad_w=8, min_iter=0,
+                          threshold=1e-12)
+    model = PhyloHMRF(example_tree, regions, cfg)
+    result = model.fit(verbose=False)
+    proba = model.predict_proba(result.labels)
+    assert proba.shape == (model.n_samples, 3)
+    np.testing.assert_allclose(proba.sum(1), 1.0, rtol=1e-5)
+    # posteriors should mostly agree with the MAP labels
+    assert (proba.argmax(1) == result.labels).mean() > 0.7
