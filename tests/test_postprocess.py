@@ -102,3 +102,37 @@ def test_cnt_estimate():
     cnt, frac, states = cnt_estimate(np.array([0, 0, 1, 3]), 4)
     np.testing.assert_array_equal(states, [0, 1, 3])
     assert frac.sum() == pytest.approx(1.0)
+
+
+def test_postprocess_on_fit_output(tmp_path, rng):
+    """Full user journey: fit -> smooth -> per-bin-pair export -> RGB."""
+    from phylo_hmrf_tpu.config import PhyloHMRFConfig
+    from phylo_hmrf_tpu.models.hmrf import PhyloHMRF
+    from tests.conftest import EXAMPLE_INPUT  # noqa: F401
+    from tests.test_em import synth_problem
+    import jax
+    from phylo_hmrf_tpu.tree import load_tree
+    import os as _os
+
+    tree = load_tree(_os.path.join(EXAMPLE_INPUT, "edge.1.txt"),
+                     _os.path.join(EXAMPLE_INPUT, "branch_length.1.txt"),
+                     _os.path.join(EXAMPLE_INPUT, "species_name.1.txt"))
+    _, _, _, regions, _ = synth_problem(tree, rng, K=3, H0=16)
+    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=2, seed=1,
+                          mstep_iters=20, pad_h=8, pad_w=8, min_iter=0,
+                          threshold=1e-12)
+    model = PhyloHMRF(tree, regions, cfg)
+    result = model.fit(verbose=False)
+
+    smoothed = smooth_state_vec(result.labels, model.len_vec, 3,
+                                threshold=4)
+    assert smoothed.shape == result.labels.shape
+    # regions are tagged chrom=-1 by synth_problem
+    f = write_state_files(smoothed, model.len_vec, -1, 50000,
+                          str(tmp_path), "smooth")
+    assert os.path.exists(f)
+    grid = states_to_grid(smoothed[:model.len_vec[0, 0]],
+                          int(model.len_vec[0, 3]),
+                          int(model.len_vec[0, 4]), True)
+    img = states_to_rgb(grid, n_components=3)
+    assert img.shape == grid.shape + (3,)
