@@ -262,4 +262,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the remote-TPU tunnel occasionally throws a transient
+    # FAILED_PRECONDITION on first contact; one retry clears it
+    try:
+        main()
+    except Exception:
+        time.sleep(5)
+        main()

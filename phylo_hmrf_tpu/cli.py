@@ -146,6 +146,16 @@ def run(opts) -> str:
 
     mesh = None
     import jax
+    # persistent compilation cache: the exact-swap kernels take ~30-45 s to
+    # compile the first time; cached compiles make reruns near-instant
+    cache_dir = os.environ.get("PHMRF_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/phylo_hmrf_jax"))
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        except Exception:
+            pass
     n_dev = int(opts.n_devices) or len(jax.devices())
     if n_dev > 1:
         from phylo_hmrf_tpu.parallel.mesh import make_mesh

@@ -47,7 +47,7 @@ def _rev(d: int) -> int:
 
 def grid_mincut(excess0: jnp.ndarray, cap_t0: jnp.ndarray,
                 caps0: jnp.ndarray, max_sweeps: int = 3000,
-                relabel_every: int = 16):
+                relabel_every: int = 32):
     """Phase-1 push-relabel min-cut.
 
     excess0 (H, W): source-arc capacities (pre-saturated: excess = cap_s).
@@ -160,7 +160,7 @@ def grid_mincut(excess0: jnp.ndarray, cap_t0: jnp.ndarray,
 
 def swap_move(labels: jnp.ndarray, unary: jnp.ndarray, wmaps: jnp.ndarray,
               mask: jnp.ndarray, a, b, beta: float,
-              max_sweeps: int = 3000) -> jnp.ndarray:
+              max_sweeps: int = 3000, relabel_every: int = 32) -> jnp.ndarray:
     """One exact alpha-beta swap move: pixels labeled a or b may exchange
     labels; solved as a binary min-cut (source side = label a).
 
@@ -207,7 +207,8 @@ def swap_move(labels: jnp.ndarray, unary: jnp.ndarray, wmaps: jnp.ndarray,
         caps0 = caps0.at[d].add(lam)
         caps0 = caps0.at[_rev(d)].add(_neighbor(lam, _rev(d), 0.0))
 
-    source_side = grid_mincut(excess0, cap_t0, caps0, max_sweeps)
+    source_side = grid_mincut(excess0, cap_t0, caps0, max_sweeps,
+                              relabel_every)
     new_labels = jnp.where(source_side, a, b).astype(labels.dtype)
     return jnp.where(in_play, new_labels, labels)
 
