@@ -77,17 +77,33 @@ def _estep_bucket(img, mask, dmaps, warm, means, covars, beta, beta1, *,
     w_cut = weight_maps(dmaps, beta1)                    # elementwise: ok batched
 
     if labeler == "mf_icm" and use_pallas:
+        # fully batched Pallas path: fused-MF proposal + phase-kernel ICM for
+        # both starts; the lower-energy candidate wins per region
+        from phylo_hmrf_tpu.ops.icm_pallas import icm_pallas
         from phylo_hmrf_tpu.ops.mf_pallas import mean_field_pallas
+        from phylo_hmrf_tpu.ops.potts import potts_energy
+
         mf_labels = mean_field_pallas(unary, w_cut, beta)
+        cand_a = icm_pallas(unary, w_cut, mask, mf_labels, beta, max_sweeps)
+        cand_b = icm_pallas(unary, w_cut, mask, warm, beta, max_sweeps)
+        e_a = jax.vmap(lambda l, u, w, m: potts_energy(l, u, w, m, beta))(
+            cand_a, unary, w_cut, mask)
+        e_b = jax.vmap(lambda l, u, w, m: potts_energy(l, u, w, m, beta))(
+            cand_b, unary, w_cut, mask)
+        labels_pre = jnp.where((e_a <= e_b)[:, None, None], cand_a, cand_b)
     elif labeler == "mf_icm":
         mf_labels = jax.vmap(lambda u, w: mean_field(u, w, beta))(
             unary, w_cut)
+        labels_pre = None
     else:
         mf_labels = warm   # unused placeholder with the right shape
+        labels_pre = None
 
     def one(unary_r, wcut_r, dmaps_r, mask_r, warm_r, mf_r, logprob_r,
-            img_r):
-        if labeler == "mf_icm":
+            img_r, labels_r):
+        if labels_pre is not None:
+            labels = labels_r
+        elif labeler == "mf_icm":
             cand_a, e_a = icm_with_energy(unary_r, wcut_r, mask_r, mf_r,
                                           beta, max_sweeps)
             cand_b, e_b = icm_with_energy(unary_r, wcut_r, mask_r, warm_r,
@@ -104,8 +120,9 @@ def _estep_bucket(img, mask, dmaps, warm, means, covars, beta, beta1, *,
         post, obs, obs2 = sufficient_stats(posteriors, img_r, mask_r)
         return labels, post, obs, obs2, cost_vec, n_valid
 
+    labels_arg = labels_pre if labels_pre is not None else mf_labels
     labels, post, obs, obs2, cost_vec, n_valid = jax.vmap(one)(
-        unary, w_cut, dmaps, mask, warm, mf_labels, logprob, img)
+        unary, w_cut, dmaps, mask, warm, mf_labels, logprob, img, labels_arg)
     return (labels, (post.sum(0), obs.sum(0), obs2.sum(0)), cost_vec,
             n_valid)
 

@@ -1,0 +1,160 @@
+"""Pallas TPU kernel: one checkerboard-ICM phase update.
+
+Same tiling/halo scheme as ops/mf_pallas.py (row tiles, 8-row halo DMA,
+region batch as a grid dimension), but with hard labels: the kernel computes
+the weighted neighbor agreement from the int32 label slab, takes the argmin
+of ``unary - beta * agree`` over states, and commits it only at pixels of the
+active checkerboard color. Four phase invocations = one exact
+block-coordinate-descent sweep (energy monotone); the sweep loop with
+early exit runs outside under `lax.while_loop`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from phylo_hmrf_tpu.data.regions import DIRS
+from phylo_hmrf_tpu.ops.mf_pallas import _HALO, _pick_tile_h, _shift_cols, \
+    _VMEM_LIMIT
+
+
+def _icm_phase_kernel(scalars_ref, unary_ref, mask_ref, labp_ref, wp_ref,
+                      out_ref, lab_scratch, w_scratch, sem, *, tile_h: int):
+    r = pl.program_id(0)
+    i = pl.program_id(1)
+    beta = scalars_ref[0, 0]
+    phase_a = scalars_ref[1, 0].astype(jnp.int32)
+    phase_b = scalars_ref[2, 0].astype(jnp.int32)
+
+    row0 = i * tile_h
+    cp_l = pltpu.make_async_copy(
+        labp_ref.at[r, pl.ds(row0, tile_h + 2 * _HALO), :], lab_scratch,
+        sem.at[0])
+    cp_w = pltpu.make_async_copy(
+        wp_ref.at[r, :, pl.ds(row0, tile_h + 2 * _HALO), :], w_scratch,
+        sem.at[1])
+    cp_l.start()
+    cp_w.start()
+    cp_l.wait()
+    cp_w.wait()
+
+    lab = lab_scratch[:]      # (TH + 2*_HALO, W) int32
+    w = w_scratch[:]          # (4, TH + 2*_HALO, W)
+    K = unary_ref.shape[1]
+    c = _HALO
+
+    ks = jax.lax.broadcasted_iota(jnp.int32, (K, tile_h, lab.shape[1]), 0)
+
+    agree = jnp.zeros((K, tile_h, lab.shape[1]), w.dtype)
+    for d, (dr, dc) in enumerate(DIRS):
+        lab_sh = _shift_cols(lab[None], dc)[0]
+        lab_shm = _shift_cols(lab[None], -dc)[0]
+        w_sh = _shift_cols(w[d:d + 1], -dc)[0]
+        w_d = w[d]
+        # forward edge: neighbor at (+dr, +dc)
+        nb = lab_sh[c + dr:c + dr + tile_h, :]
+        agree += (w_d[c:c + tile_h, :][None]
+                  * (nb[None] == ks).astype(w.dtype))
+        # backward edge: neighbor at (-dr, -dc), weight stored at neighbor
+        nbm = lab_shm[c - dr:c - dr + tile_h, :]
+        agree += (w_sh[c - dr:c - dr + tile_h, :][None]
+                  * (nbm[None] == ks).astype(w.dtype))
+
+    score = unary_ref[0] - beta * agree
+    best = jnp.argmin(score, axis=0).astype(jnp.int32)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, best.shape, 0) + row0
+    cols = jax.lax.broadcasted_iota(jnp.int32, best.shape, 1)
+    phase = ((rows % 2) == phase_a) & ((cols % 2) == phase_b)
+    valid = mask_ref[0] != 0
+    center = lab[c:c + tile_h, :]
+    out_ref[0] = jnp.where(phase & valid, best, center)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def icm_phase_pallas(labels, unary_k, wmaps, mask, beta, phase_a, phase_b,
+                     *, interpret: bool = False):
+    """One checkerboard phase over a region batch.
+
+    labels (R, H, W) int32; unary_k (R, K, H, W); wmaps (R, 4, H, W);
+    mask (R, H, W) int32 (1 = valid). Returns updated labels."""
+    R, K, H, W = unary_k.shape
+    tile_h = _pick_tile_h(H, K, W)
+    labp = jnp.pad(labels, [(0, 0), (_HALO, _HALO), (0, 0)])
+    wp = jnp.pad(wmaps, [(0, 0), (0, 0), (_HALO, _HALO), (0, 0)])
+    scalars = jnp.stack([jnp.asarray(beta, unary_k.dtype),
+                         jnp.asarray(phase_a, unary_k.dtype),
+                         jnp.asarray(phase_b, unary_k.dtype)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(R, H // tile_h),
+        in_specs=[
+            pl.BlockSpec((3, 1), lambda r, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, tile_h, W), lambda r, i: (r, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_h, W), lambda r, i: (r, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, W), lambda r, i: (r, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * _HALO, W), jnp.int32),
+            pltpu.VMEM((4, tile_h + 2 * _HALO, W), unary_k.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_icm_phase_kernel, tile_h=tile_h)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, H, W), jnp.int32),
+        interpret=interpret,
+        **kwargs,
+    )(scalars.reshape(3, 1), unary_k, mask, labp, wp)
+
+
+def icm_pallas(unary, wmaps, mask, init_labels, beta, max_sweeps: int = 60,
+               interpret: bool = False):
+    """Batched checkerboard ICM via the phase kernel.
+
+    unary (R, H, W, K); wmaps (R, 4, H, W); mask (R, H, W) bool;
+    init_labels (R, H, W). Semantics identical to vmapped ops.icm.icm."""
+    unary_k = jnp.transpose(unary, (0, 3, 1, 2))
+    mask_i = mask.astype(jnp.int32)
+    labels0 = jnp.where(mask, init_labels, 0).astype(jnp.int32)
+
+    def one_sweep(labels):
+        changed = jnp.zeros((), jnp.int32)
+        for a in (0, 1):
+            for b in (0, 1):
+                new = icm_phase_pallas(labels, unary_k, wmaps, mask_i,
+                                       beta, a, b, interpret=interpret)
+                changed += jnp.sum((new != labels).astype(jnp.int32))
+                labels = new
+        return labels, changed
+
+    def cond(state):
+        _, changed, sweep = state
+        return (changed > 0) & (sweep < max_sweeps)
+
+    def body(state):
+        labels, _, sweep = state
+        labels, changed = one_sweep(labels)
+        return labels, changed, sweep + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels0, jnp.int32(1), jnp.int32(0)))
+    return labels
