@@ -61,21 +61,25 @@ def _two_loop(g, S, Y, rho, valid):
 
 
 def minimize_lbfgs(fn, x0: jnp.ndarray, n_iters: int, memory_size: int = 10,
-                   etas=_LS_ETAS):
+                   etas=_LS_ETAS, tol: float = 0.0, patience: int = 5):
     """Minimize ``fn(x)`` from ``x0``; returns (x_best, f_best).
 
-    Fixed iteration count (static shapes for jit/vmap); per iteration one
+    Bounded iteration count (static shapes for jit/vmap); per iteration one
     value_and_grad plus len(etas) parallel trial evaluations. The step is
     only taken when it improves, so f is monotone non-increasing; a failed
     line search falls back to a steepest-descent trial next iteration
     (memory pair is skipped when the curvature condition fails).
+
+    With tol > 0, iteration stops early once the relative improvement stays
+    below tol for `patience` consecutive steps (a real time saving: the loop
+    is a while_loop, not a scan).
     """
     P = x0.shape[0]
     M = memory_size
     etas_arr = jnp.asarray(etas, x0.dtype)
     vg = jax.value_and_grad(fn)
 
-    def step(carry, _):
+    def step(carry):
         x, f, g, S, Y, rho, valid = carry
         d = -_two_loop(g, S, Y, rho, valid)
         # fall back to steepest descent if d is not a descent direction
@@ -107,22 +111,39 @@ def minimize_lbfgs(fn, x0: jnp.ndarray, n_iters: int, memory_size: int = 10,
         valid2 = jnp.where(keep,
                            jnp.concatenate([valid[1:],
                                             jnp.ones((1,), bool)], 0), valid)
-        return (x_new, f_new, g_new, S2, Y2, rho2, valid2), None
+        return x_new, f_new, g_new, S2, Y2, rho2, valid2
 
     f0, g0 = vg(x0)
     S0 = jnp.zeros((M, P), x0.dtype)
     Y0 = jnp.zeros((M, P), x0.dtype)
     rho0 = jnp.zeros((M,), x0.dtype)
     valid0 = jnp.zeros((M,), bool)
-    (x, f, *_), _ = jax.lax.scan(step, (x0, f0, g0, S0, Y0, rho0, valid0),
-                                 None, length=n_iters)
+
+    def cond(state):
+        carry, it, stall = state
+        return (it < n_iters) & (stall < patience)
+
+    def body(state):
+        carry, it, stall = state
+        f_prev = carry[1]
+        carry = step(carry)
+        f_new = carry[1]
+        improve = (f_prev - f_new) > tol * jnp.maximum(1.0, jnp.abs(f_new))
+        stall = jnp.where(improve, 0, stall + 1) if tol > 0 else stall
+        return carry, it + 1, stall
+
+    (x, f, *_), _, _ = jax.lax.while_loop(
+        cond, body, ((x0, f0, g0, S0, Y0, rho0, valid0), jnp.int32(0),
+                     jnp.int32(0)))
     return x, f
 
 
-def minimize_boxed(fn, p0: jnp.ndarray, lo: float, hi: float, n_iters: int):
-    """Box-constrained minimize: optimize fn(box_decode(z)) over z."""
+def minimize_boxed(fn, p0: jnp.ndarray, lo: float, hi: float, n_iters: int,
+                   tol: float = 1e-7):
+    """Box-constrained minimize: optimize fn(box_decode(z)) over z.
+    tol: early-exit threshold (relative improvement; 0 = run all iters)."""
     def zfn(z):
         return fn(box_decode(z, lo, hi))
     z0 = box_encode(p0, lo, hi)
-    z, f = minimize_lbfgs(zfn, z0, n_iters)
+    z, f = minimize_lbfgs(zfn, z0, n_iters, tol=tol)
     return box_decode(z, lo, hi), f
