@@ -177,3 +177,23 @@ def states_to_rgb(grid: np.ndarray, palette: np.ndarray | None = None,
 def load_color_vec(path: str) -> np.ndarray:
     """Load a reference-format color table (3 tab-separated ints/line)."""
     return np.loadtxt(path, dtype=np.int64, delimiter="\t").astype(np.uint8)
+
+
+def save_state_image(grid: np.ndarray, path: str,
+                     palette: np.ndarray | None = None,
+                     n_components: int | None = None,
+                     title: str | None = None) -> None:
+    """Save a state map as an image file (the reference renders JPGs from
+    MATLAB, color_map_sub.m / imshow)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    img = states_to_rgb(grid, palette, n_components)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.imshow(img)
+    ax.set_axis_off()
+    if title:
+        ax.set_title(title)
+    fig.savefig(path, bbox_inches="tight", dpi=150)
+    plt.close(fig)

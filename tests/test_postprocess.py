@@ -136,3 +136,28 @@ def test_postprocess_on_fit_output(tmp_path, rng):
                           int(model.len_vec[0, 4]), True)
     img = states_to_rgb(grid, n_components=3)
     assert img.shape == grid.shape + (3,)
+
+
+def test_save_state_image(tmp_path, rng):
+    from phylo_hmrf_tpu.postprocess.smooth import save_state_image
+    g = rng.integers(0, 4, (20, 20))
+    f = tmp_path / "state.png"
+    save_state_image(g, str(f), n_components=4, title="test")
+    assert f.exists() and f.stat().st_size > 0
+
+
+def test_compare_results_tool(tmp_path, rng):
+    import scipy.io
+    from phylo_hmrf_tpu.compare import compare_results
+    sv = rng.integers(0, 3, 200)
+    m = {"state_vec": sv, "len_vec": np.zeros((1, 10)),
+         "params_vec1": np.zeros((3, 5)), "params_vec2": np.zeros((3, 5)),
+         "iter_id1": 0, "iter_id2": 0,
+         "cost_vec": np.asarray([[0, 1.0, 2.0, 3.0]])}
+    scipy.io.savemat(str(tmp_path / "a.mat"), m)
+    perm = np.asarray([2, 0, 1])
+    m["state_vec"] = perm[sv]      # permuted labels: perfect match expected
+    scipy.io.savemat(str(tmp_path / "b.mat"), m)
+    out = compare_results(str(tmp_path / "a.mat"), str(tmp_path / "b.mat"))
+    assert out["agreement_best_match"] == 1.0
+    assert out["nmi"] == pytest.approx(1.0)
