@@ -33,7 +33,6 @@ def _hole_fill_python(mtx: np.ndarray, symmetric: bool,
     """Faithful sequential fallback (reference utility.py:603-660)."""
     n1, n2 = mtx.shape
     out = mtx
-    j_start = None
     for i in range(2, n1 - 1):
         js = i if symmetric else 2
         for j in range(js, n2 - 1):
