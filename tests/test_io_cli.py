@@ -111,3 +111,42 @@ def test_cli_end_to_end(tmp_path, rng):
     assert (out / "data.50Kb.observed.0.npy").exists()
     assert (out / "lenvec.50Kb.observed.0.txt").exists()
     assert (tmp_path / "chrom_quantile_test.txt").exists()
+
+
+def test_fit_deterministic(example_tree, rng):
+    """Same seed, same data -> identical trajectories (the reference's
+    unseeded np.random made runs unreproducible; SURVEY section 5)."""
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
+    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=3, seed=7,
+                          mstep_iters=30, pad_h=8, pad_w=8, min_iter=0,
+                          threshold=1e-12)
+    r1 = PhyloHMRF(example_tree, regions, cfg).fit(verbose=False)
+    r2 = PhyloHMRF(example_tree, regions, cfg).fit(verbose=False)
+    np.testing.assert_array_equal(r1.labels, r2.labels)
+    np.testing.assert_allclose(r1.cost_vec, r2.cost_vec, rtol=0, atol=0)
+    np.testing.assert_allclose(r1.params_vec, r2.params_vec)
+
+
+def test_resume_matches_uninterrupted(example_tree, rng, tmp_path):
+    """A checkpointed+resumed run must reproduce the uninterrupted run
+    exactly (params, costs, labels): the checkpoint captures the full EM
+    state including the RNG used for M-step init blending."""
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
+    kw = dict(final_polish=False, n_states=3, seed=7, mstep_iters=30,
+              pad_h=8, pad_w=8, min_iter=0, threshold=1e-12)
+
+    r_full = PhyloHMRF(example_tree, regions,
+                       PhyloHMRFConfig(max_iter=4, **kw)).fit(verbose=False)
+
+    ck = str(tmp_path / "ck.npz")
+    PhyloHMRF(example_tree, regions,
+              PhyloHMRFConfig(max_iter=2, **kw)).fit(
+        verbose=False, checkpoint_path=ck, checkpoint_every=1)
+    r_res = PhyloHMRF(example_tree, regions,
+                      PhyloHMRFConfig(max_iter=4, **kw)).fit(
+        verbose=False, checkpoint_path=ck, resume=True)
+
+    np.testing.assert_allclose(r_full.cost_vec, r_res.cost_vec,
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(r_full.labels, r_res.labels)
+    np.testing.assert_allclose(r_full.params_vec1, r_res.params_vec1)
