@@ -63,6 +63,8 @@ def parse_args(argv=None):
     a("--seed", default="0")
     a("--n_devices", default="0", help="0 = all available devices")
     a("--checkpoint", default="", help="EM checkpoint file; enables resume")
+    a("--checkpoint_every", default="5",
+      help="save the EM checkpoint every N iterations")
     a("--n_workers", default="0", help="data-loading process pool size")
     a("--profile_dir", default="", help="write a jax.profiler trace here")
     a("--cost_log", default="", help="JSONL per-iteration cost log file")
@@ -166,6 +168,7 @@ def run(opts) -> str:
     from phylo_hmrf_tpu.utils.profiling import jax_trace
     with jax_trace(opts.profile_dir or None):
         result = model.fit(checkpoint_path=ckpt_path,
+                           checkpoint_every=int(opts.checkpoint_every),
                            resume=bool(ckpt_path),
                            cost_log=opts.cost_log or None)
     print("phase timings:", model.timer.report())

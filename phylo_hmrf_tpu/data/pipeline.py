@@ -174,11 +174,10 @@ def save_cache(regions, output_path: str, cfg: PhyloHMRFConfig):
         keeps = np.empty(len(regions), dtype=object)
         for i, r in enumerate(regions):
             rows, cols = flat_index_order(r.H0, r.W0, r.is_diag)
-            sel = np.zeros(rows.shape[0], dtype=bool)
-            have = set(zip(r.flat_rows.tolist(), r.flat_cols.tolist()))
-            for k in range(rows.shape[0]):
-                sel[k] = (int(rows[k]), int(cols[k])) in have
-            keeps[i] = sel
+            # vectorized membership via linear pixel serials (unique per pair)
+            serials = rows.astype(np.int64) * r.W0 + cols
+            have = r.flat_rows.astype(np.int64) * r.W0 + r.flat_cols
+            keeps[i] = np.isin(serials, have)
         np.save(f_meta[:-4], keeps, allow_pickle=True)
     np.save(f_data[:-4], samples)
     edge_lists = np.empty(len(regions), dtype=object)

@@ -622,10 +622,22 @@ class PhyloHMRF:
             min_cost1 = list(book["min_cost1"])
             params_best = arrays["params_best"].copy()
             params_best1 = arrays["params_best1"].copy()
-            params_list = [p.copy() for p in arrays["params_list_arr"]]
+            # per-iteration history (params rows, + state rows when tracked)
+            # lives in the append-only sidecar log, so checkpoints are O(1)
+            # per save instead of rewriting the whole history every time
+            hist_offset = int(book["hist_offset"])
+            hist_states = bool(book["hist_states"])
+            recs = ckpt.read_history(checkpoint_path, int(book["hist_count"]),
+                                     2 if hist_states else 1)
+            params_list = [r[0] for r in recs]
+            if track_states and hist_states:
+                state_list = [r[1] for r in recs]
+            # (track_states without hist_states: the checkpoint never
+            # recorded states — state_list restarts from the resume point)
             t_label_grids = [arrays[f"t_labels_{i}"].copy()
                              for i in range(len(self.regions))]
             n_iters = it_start
+            hist_pending = []
             if verbose:
                 print(f"[resume] from iter {it_start}")
         else:
@@ -644,6 +656,8 @@ class PhyloHMRF:
             params_best1 = self.params_vec.copy()
             t_label_grids = list(self.labels_local)
             n_iters = 0
+            hist_offset = 0      # fresh run: first flush truncates any stale log
+            hist_pending = []
 
         ratio_vec = self.len_vec[:, 0].astype(np.float64) / self.n_samples
 
@@ -654,8 +668,14 @@ class PhyloHMRF:
                     self.means_, self.covars_, self.labels_local)
             t1 = time.time()
 
-            pairwise_cost = float(costs[:, 0] @ ratio_vec)
-            pairwise_cost_n = float(costs[:, 1] @ ratio_vec)
+            # Reference gather (base.py:388-389): the accumulated
+            # "pairwise_cost" that drives convergence and is exported in
+            # cost_vec is the worker's *normalized* pairwise cost
+            # (phylo_hmrf.py:307 returns [raw, normalized, unary, cost1];
+            # base.py uses vec1[id1+1] = normalized). The raw value
+            # (vec1[id1] = "pairwise_cost1") is only printed.
+            pairwise_cost_raw = float(costs[:, 0] @ ratio_vec)
+            pairwise_cost = float(costs[:, 1] @ ratio_vec)
             unary_cost = float(costs[:, 2] @ ratio_vec)
             cost1 = float(costs[:, 3] @ ratio_vec)
 
@@ -667,14 +687,18 @@ class PhyloHMRF:
             monitor.report(it, pairwise_cost, unary_cost, cost1)
             cost_rows.append([it, pairwise_cost, unary_cost, cost1])
             params_list.append(self.params_vec.copy())
+            hist_rec = [params_list[-1]]
             n_iters = it + 1
             if track_states:
                 state_list.append(np.concatenate([
                     self.regions[i].labels_to_flat(label_grids[i])
                     for i in range(len(self.regions))]))
+                hist_rec.append(state_list[-1])
+            hist_pending.append(hist_rec)
 
             if verbose:
                 print(f"[iter {it:3d}] pairwise={pairwise_cost:.6f} "
+                      f"(raw={pairwise_cost_raw:.6f}) "
                       f"unary={unary_cost:.6f} cost1={cost1:.6f} "
                       f"estep={t1 - t0:.2f}s")
 
@@ -704,15 +728,22 @@ class PhyloHMRF:
 
             if (checkpoint_path is not None
                     and (it + 1) % checkpoint_every == 0):
+                # flush only the rows added since the last save (O(1)/save),
+                # then atomically replace the main npz pointing at them
+                hist_offset = ckpt.append_history(
+                    checkpoint_path, hist_pending, truncate_to=hist_offset)
+                hist_pending = []
                 extra = {"params_best": params_best,
-                         "params_best1": params_best1,
-                         "params_list_arr": np.asarray(params_list)}
+                         "params_best1": params_best1}
                 for ri, g in enumerate(t_label_grids):
                     extra[f"t_labels_{ri}"] = g
                 ckpt.save_checkpoint(
                     checkpoint_path, self,
                     {"iter": it, "prev": prev, "cost_rows": cost_rows,
-                     "min_cost": min_cost, "min_cost1": min_cost1},
+                     "min_cost": min_cost, "min_cost1": min_cost1,
+                     "hist_count": len(params_list),
+                     "hist_offset": hist_offset,
+                     "hist_states": bool(track_states)},
                     extra)
 
         # restore: params_vec1 = best-from-3; moments from overall best

@@ -306,12 +306,18 @@ def swap_optimize(unary: jnp.ndarray, wmaps: jnp.ndarray, mask: jnp.ndarray,
         hist = np.bincount(
             np.asarray(jnp.where(mask, labels, n_states)).ravel(),
             minlength=n_states + 1)[:n_states]
+        # a pair is skippable only while BOTH labels are provably empty; a
+        # label can only gain pixels from a move it participates in, so any
+        # executed move(a,b) marks both labels possibly-non-empty for the
+        # rest of the cycle (no per-pair device fetch needed)
+        maybe = hist > 0
         for a in range(n_states):
             for b in range(a + 1, n_states):
-                if hist[a] == 0 and hist[b] == 0:
+                if not (maybe[a] or maybe[b]):
                     continue
                 labels = move(labels, unary, wmaps, mask,
                               jnp.int32(a), jnp.int32(b))
+                maybe[a] = maybe[b] = True
         e = float(energy(labels, unary, wmaps, mask))
         if prev_e - e <= tol * max(1.0, abs(prev_e)):
             break

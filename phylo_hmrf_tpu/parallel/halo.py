@@ -74,16 +74,19 @@ def _mean_field_halo(unary, wmaps_ext, beta, axis, temps, iters_per_temp,
     return jnp.argmin(field_of(q), axis=-1).astype(jnp.int32)
 
 
-def _phase_masks_local(Hl: int, W: int):
-    # local row parity == global row parity because Hl is a multiple of 8
-    i = jax.lax.broadcasted_iota(jnp.int32, (Hl, W), 0)
+def _phase_masks_local(Hl: int, W: int, axis: str):
+    # offset local rows by the shard's global row offset so checkerboard
+    # parity stays globally consistent even for odd per-shard heights
+    # (ICM's exact block-coordinate-descent guarantee needs global parity)
+    row0 = jax.lax.axis_index(axis) * Hl
+    i = row0 + jax.lax.broadcasted_iota(jnp.int32, (Hl, W), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (Hl, W), 1)
     return [(i % 2 == a) & (j % 2 == b) for a in (0, 1) for b in (0, 1)]
 
 
 def _icm_halo(unary, wmaps_ext, mask, init_labels, beta, max_sweeps, axis):
     Hl, W, K = unary.shape
-    phases = _phase_masks_local(Hl, W)
+    phases = _phase_masks_local(Hl, W, axis)
     labels0 = jnp.where(mask, init_labels, 0).astype(jnp.int32)
 
     def one_sweep(labels):

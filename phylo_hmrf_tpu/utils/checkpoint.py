@@ -15,6 +15,46 @@ import os
 import numpy as np
 
 
+def history_path(path: str) -> str:
+    return path + ".hist"
+
+
+def append_history(path: str, records, truncate_to: int | None = None
+                   ) -> int:
+    """Append per-iteration records to the side-car history log.
+
+    ``records`` is a list of per-iteration entries, each a list of arrays
+    (e.g. ``[params_row]`` or ``[params_row, state_row]``). Each array is
+    written with ``np.save`` into ``path + ".hist"``, so a checkpoint costs
+    O(rows since last save), not O(total history). ``truncate_to`` discards
+    bytes past a known-good offset first (crash recovery: the main npz is
+    replaced atomically *after* the append, so on resume the npz's recorded
+    offset is authoritative and any partial tail is dropped here).
+    Returns the end-of-file byte offset after the append.
+    """
+    hp = history_path(path)
+    mode = "r+b" if os.path.exists(hp) else "w+b"
+    with open(hp, mode) as f:
+        if truncate_to is not None:
+            f.truncate(truncate_to)
+        f.seek(0, os.SEEK_END)
+        for rec in records:
+            for arr in rec:
+                np.save(f, np.ascontiguousarray(arr))
+        f.flush()
+        os.fsync(f.fileno())
+        return f.tell()
+
+
+def read_history(path: str, n_records: int, arrays_per_record: int):
+    """Read the first ``n_records`` per-iteration entries back."""
+    out = []
+    with open(history_path(path), "rb") as f:
+        for _ in range(n_records):
+            out.append([np.load(f) for _ in range(arrays_per_record)])
+    return out
+
+
 def save_checkpoint(path: str, model, bookkeeping: dict,
                     extra_arrays: dict | None = None) -> None:
     arrays = {

@@ -64,6 +64,28 @@ def test_checkpoint_resume(example_tree, rng, tmp_path):
     assert np.isfinite(r2.cost_vec).all()
 
 
+def test_checkpoint_resume_track_states(example_tree, rng, tmp_path):
+    """state_list rows from before the resume point are restored from the
+    history log, so a resumed track_states run aligns with cost_vec."""
+    ck = str(tmp_path / "ck.npz")
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
+    kw = dict(final_polish=False, n_states=3, seed=1, mstep_iters=30,
+              pad_h=8, pad_w=8, min_iter=0, threshold=1e-9)
+    m1 = PhyloHMRF(example_tree, regions, PhyloHMRFConfig(max_iter=2, **kw))
+    m1.fit(verbose=False, checkpoint_path=ck, checkpoint_every=1,
+           track_states=True)
+    # the history sidecar exists and the main npz stays O(1)-sized
+    assert os.path.exists(ck + ".hist")
+
+    m2 = PhyloHMRF(example_tree, regions, PhyloHMRFConfig(max_iter=4, **kw))
+    r2 = m2.fit(verbose=False, checkpoint_path=ck, resume=True,
+                track_states=True)
+    assert r2.state_list is not None
+    assert r2.state_list.shape == (r2.n_iters, m2.n_samples)
+    assert r2.params_list.shape[0] == r2.n_iters
+    assert r2.cost_vec.shape[0] == r2.n_iters
+
+
 def test_cli_end_to_end(tmp_path, rng):
     """Full CLI run on a synthetic 2-species dataset with tree files."""
     res = 50000
