@@ -43,9 +43,11 @@ class PhyloHMRFConfig:
 
     # ---- E-step label optimizer ----
     labeler: str = "mf_icm"            # "mf_icm" | "icm" (fast TPU local opt)
-                                       # | "swap_tpu" (exact graph-cut swap on
-                                       #   device via parallel push-relabel)
-                                       # | "swap" (exact C++ oracle, CPU)
+                                       # | "swap_tpu" / "expansion_tpu"
+                                       #   (exact graph-cut moves on device
+                                       #   via parallel push-relabel)
+                                       # | "swap" / "expansion"
+                                       #   (exact C++ oracle, CPU)
     use_pallas: str = "auto"           # "auto" (TPU only) | "on" | "off": fused MF Pallas kernel
     final_polish: bool = True          # polish the final state map with one
                                        # exact on-device swap pass
@@ -102,7 +104,8 @@ class PhyloHMRFConfig:
         if self.num_neighbor not in (4, 8):
             raise ValueError("num_neighbor must be 4 or 8 "
                              f"(got {self.num_neighbor})")
-        if self.labeler not in ("mf_icm", "icm", "swap_tpu", "swap"):
+        if self.labeler not in ("mf_icm", "icm", "swap_tpu", "swap",
+                                "expansion_tpu", "expansion"):
             raise ValueError(f"unknown labeler {self.labeler!r}")
 
     @property

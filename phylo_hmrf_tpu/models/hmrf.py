@@ -246,7 +246,8 @@ class PhyloHMRF:
                                     jnp.asarray(dmaps))
             self._bucket_arrays[shape] = (idxs, img, mask, dmaps)
 
-        labeler = ("mf_icm" if cfg.labeler in ("swap", "swap_tpu")
+        labeler = ("mf_icm" if cfg.labeler in
+                   ("swap", "swap_tpu", "expansion", "expansion_tpu")
                    else cfg.labeler)
         if cfg.use_pallas == "auto":
             use_pallas = jax.default_backend() == "tpu"
@@ -415,9 +416,11 @@ class PhyloHMRF:
                 label_grids[ri] = np.asarray(labels)
             return label_grids, (post, obs, obs2), costs, nvalid
 
-        if cfg.labeler == "swap_tpu":
-            label_grids = self._exact_labels_all(means_j, covars_j,
-                                                 warm_grids)
+        if cfg.labeler in ("swap_tpu", "expansion_tpu"):
+            label_grids = self._exact_labels_all(
+                means_j, covars_j, warm_grids,
+                method=("expansion" if cfg.labeler == "expansion_tpu"
+                        else "swap"))
             for shape, (idxs, img, mask, dmaps) in \
                     self._bucket_arrays.items():
                 labels_np = np.stack([label_grids[i] for i in idxs])
@@ -452,8 +455,9 @@ class PhyloHMRF:
                 from jax.sharding import NamedSharding, PartitionSpec
                 warm = jax.device_put(
                     warm, NamedSharding(self.mesh, PartitionSpec("data")))
-            if cfg.labeler == "swap":
-                labels = self._swap_labels(idxs, means, covars, warm_grids)
+            if cfg.labeler in ("swap", "expansion"):
+                labels = self._swap_labels(idxs, means, covars, warm_grids,
+                                           method=cfg.labeler)
                 labels_np = np.stack(labels)
                 if r_pad > 0:
                     labels_np = np.concatenate(
@@ -490,9 +494,10 @@ class PhyloHMRF:
                 label_grids[ri] = np.asarray(out_labels[bi])
         return label_grids, (post, obs, obs2), costs, nvalid
 
-    def _exact_labels_all(self, means_j, covars_j, warm_grids):
+    def _exact_labels_all(self, means_j, covars_j, warm_grids,
+                          method: str = "swap"):
         """Exact on-device labeling (mean field + ICM + parallel-push-relabel
-        alpha-beta swap) for every region."""
+        alpha-beta swap or alpha-expansion) for every region."""
         from phylo_hmrf_tpu.ops.maxflow_tpu import exact_labels
 
         cfg = self.cfg
@@ -504,15 +509,20 @@ class PhyloHMRF:
                                   jnp.asarray(warm_grids[ri]), cfg.beta,
                                   self.n_states,
                                   max_cycles=cfg.swap_tpu_cycles,
-                                  icm_max_sweeps=cfg.icm_max_sweeps)
+                                  icm_max_sweeps=cfg.icm_max_sweeps,
+                                  method=method)
             out[ri] = np.asarray(labels)
         return out
 
-    def _swap_labels(self, idxs, means, covars, warm_grids):
-        """Exact alpha-beta-swap labeling on the host (CPU backend)."""
+    def _swap_labels(self, idxs, means, covars, warm_grids,
+                     method: str = "swap"):
+        """Exact graph-cut labeling on the host (CPU backend): alpha-beta
+        swap (the reference's optimizer) or alpha-expansion."""
         from phylo_hmrf_tpu import native
         from scipy.stats import multivariate_normal
 
+        solver = (native.potts_expansion if method == "expansion"
+                  else native.potts_swap)
         out = []
         for i in idxs:
             r = self.regions[i]
@@ -524,7 +534,7 @@ class PhyloHMRF:
             edges = flat_edge_list(r, self.cfg.num_neighbor)
             w = np.exp(-self.cfg.beta1 * edges[:, 2])
             warm_flat = r.labels_to_flat(warm_grids[i]).astype(np.int32)
-            labels = native.potts_swap(
+            labels = solver(
                 edges[:, :2].astype(np.int64), w, -logprob, self.cfg.beta,
                 warm_flat, self.cfg.swap_max_cycles)
             out.append(r.labels_to_grid(labels))
@@ -754,7 +764,8 @@ class PhyloHMRF:
         self.covars_ = (np.asarray(covars, np.float64)
                         + cfg.min_covar * np.eye(self.n_features))
 
-        if cfg.final_polish and cfg.labeler not in ("swap", "swap_tpu"):
+        if cfg.final_polish and cfg.labeler not in (
+                "swap", "swap_tpu", "expansion", "expansion_tpu"):
             # one exact on-device swap pass over the best-iteration labels
             # under the restored best-iteration moments
             with self.timer.phase("final_polish"):

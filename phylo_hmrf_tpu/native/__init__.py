@@ -69,6 +69,10 @@ def load() -> ctypes.CDLL:
             lib.phmrf_potts_swap.argtypes = [
                 ctypes.c_int64, ctypes.c_int64, i64p, f64p, f64p,
                 ctypes.c_int32, ctypes.c_double, ctypes.c_int32, i32p]
+            lib.phmrf_potts_expansion.restype = ctypes.c_int32
+            lib.phmrf_potts_expansion.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, i64p, f64p, f64p,
+                ctypes.c_int32, ctypes.c_double, ctypes.c_int32, i32p]
             if hasattr(lib, "phmrf_hole_fill_sym"):
                 lib.phmrf_hole_fill_sym.restype = None
                 lib.phmrf_hole_fill_sym.argtypes = [
@@ -122,4 +126,23 @@ def potts_swap(edges: np.ndarray, weights: np.ndarray, unary: np.ndarray,
     l_p = labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     lib.phmrf_potts_swap(n, e, edges_p, w_p, u_p, k, beta,
                          max_cycles, l_p)
+    return labels
+
+
+def potts_expansion(edges: np.ndarray, weights: np.ndarray, unary: np.ndarray,
+                    beta: float, init_labels: np.ndarray,
+                    max_cycles: int = 5000) -> np.ndarray:
+    """Exact alpha-expansion on a general graph (the reference ships it in
+    GCO alongside swap, `gco_source/GCoptimization.cpp:965-1199`)."""
+    lib = load()
+    n, k = unary.shape
+    e = edges.shape[0]
+    edges_c, edges_p = _as_c(edges[:, :2], np.int64,
+                             ctypes.POINTER(ctypes.c_int64))
+    w_c, w_p = _as_c(weights, np.float64, ctypes.POINTER(ctypes.c_double))
+    u_c, u_p = _as_c(unary, np.float64, ctypes.POINTER(ctypes.c_double))
+    labels = np.ascontiguousarray(init_labels, dtype=np.int32).copy()
+    l_p = labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    lib.phmrf_potts_expansion(n, e, edges_p, w_p, u_p, k, beta,
+                              max_cycles, l_p)
     return labels

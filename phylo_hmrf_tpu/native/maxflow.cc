@@ -204,4 +204,82 @@ int32_t phmrf_potts_swap(int64_t n_nodes, int64_t n_edges,
   return cycle;
 }
 
+// Alpha-expansion (the reference ships it alongside swap:
+// gco_source/GCoptimization.cpp:965-1199; swap is the one its driver uses).
+// Every node not already labeled alpha may switch to alpha; one binary
+// min-cut per label per cycle. For the weighted-Potts pairwise the move
+// energy is submodular, so the Kolmogorov-Zabih reduction applies directly:
+// edge (u,v), lam = beta*w, table over (x_u, x_v) with x=1 meaning "take
+// alpha": A=lam*[l_u!=l_v], B=lam*[l_u!=a]=lam, C=lam*[a!=l_v]=lam, D=0
+// (both movable => labels differ from alpha). Decomposition: c1_u += C-A,
+// c1_v += D-C, directed arc u->v with capacity B+C-A-D >= 0 (paid when u
+// keeps and v expands). Frozen alpha neighbors shift c0 by lam.
+// labels is in-out. Returns the number of full cycles run.
+int32_t phmrf_potts_expansion(int64_t n_nodes, int64_t n_edges,
+                              const int64_t* edges, const double* weights,
+                              const double* unary, int32_t n_labels,
+                              double beta, int32_t max_cycles,
+                              int32_t* labels) {
+  std::vector<int64_t> node_of(n_nodes, -1);
+  std::vector<int64_t> members;
+  members.reserve(n_nodes);
+
+  int32_t cycle = 0;
+  for (; cycle < max_cycles; ++cycle) {
+    int64_t changed = 0;
+    for (int32_t a = 0; a < n_labels; ++a) {
+      members.clear();
+      for (int64_t i = 0; i < n_nodes; ++i) {
+        if (labels[i] != a) {
+          node_of[i] = static_cast<int64_t>(members.size());
+          members.push_back(i);
+        }
+      }
+      if (members.empty()) continue;
+
+      const int m = static_cast<int>(members.size());
+      // c0 = cost of keeping the current label, c1 = cost of taking alpha
+      std::vector<double> c0(m), c1(m);
+      for (int p = 0; p < m; ++p) {
+        int64_t i = members[p];
+        c0[p] = unary[i * n_labels + labels[i]];
+        c1[p] = unary[i * n_labels + a];
+      }
+      Dinic g(m);
+      for (int64_t t = 0; t < n_edges; ++t) {
+        int64_t u = edges[2 * t], v = edges[2 * t + 1];
+        double lam = beta * weights[t];
+        bool mu = labels[u] != a, mv = labels[v] != a;
+        if (mu && mv) {
+          int pu = static_cast<int>(node_of[u]);
+          int pv = static_cast<int>(node_of[v]);
+          double A = (labels[u] != labels[v]) ? lam : 0.0;
+          c1[pu] += lam - A;     // C - A
+          c1[pv] -= lam;         // D - C
+          g.add_edge(pu, pv, 2.0 * lam - A, 0.0);  // B + C - A - D
+        } else if (mu) {         // v frozen at alpha: u pays lam for keeping
+          c0[node_of[u]] += lam;
+        } else if (mv) {         // u frozen at alpha
+          c0[node_of[v]] += lam;
+        }                        // both alpha: constant
+      }
+      for (int p = 0; p < m; ++p) {
+        double d = c1[p] - c0[p];
+        if (d > 0) g.add_edge(g.source(), p, d, 0.0);
+        else if (d < 0) g.add_edge(p, g.sink(), -d, 0.0);
+      }
+      g.max_flow();
+      for (int p = 0; p < m; ++p) {
+        // source side keeps its label; sink side expands to alpha
+        if (!g.source_side(p)) {
+          labels[members[p]] = a;
+          ++changed;
+        }
+      }
+    }
+    if (changed == 0) break;
+  }
+  return cycle;
+}
+
 }  // extern "C"

@@ -213,12 +213,96 @@ def swap_move(labels: jnp.ndarray, unary: jnp.ndarray, wmaps: jnp.ndarray,
     return jnp.where(in_play, new_labels, labels)
 
 
+def expansion_move(labels: jnp.ndarray, unary: jnp.ndarray,
+                   wmaps: jnp.ndarray, mask: jnp.ndarray, alpha,
+                   beta: float, max_sweeps: int = 3000,
+                   relabel_every: int = 32) -> jnp.ndarray:
+    """One exact alpha-expansion move: every pixel may switch to ``alpha``
+    (reference ships expansion in GCO, `gco_source/GCoptimization.cpp:965`).
+
+    Binary variable x per movable pixel (label != alpha): 0 = keep, 1 = take
+    alpha; solved as one grid min-cut (source side = keep). For weighted
+    Potts the move energy is submodular, so the Kolmogorov-Zabih reduction
+    applies: edge (p,q), lam = beta*w, both movable =>
+      c1_p += lam*[l_p == l_q]          (C - A)
+      c1_q -= lam                       (D - C)
+      directed arc p->q with capacity lam*(2 - [l_p != l_q])   (B+C-A-D)
+    and a neighbor frozen at alpha shifts c0 by lam. ``alpha`` is a traced
+    scalar, so one compiled function serves every label.
+    """
+    K = unary.shape[-1]
+    alpha = jnp.asarray(alpha, labels.dtype)
+    is_alpha = mask & (labels == alpha)
+    in_play = mask & (labels != alpha)
+    onehot_a = jax.nn.one_hot(alpha, K, dtype=unary.dtype)
+    onehot_cur = jax.nn.one_hot(labels, K, dtype=unary.dtype)
+    u_alpha = jnp.einsum("hwk,k->hw", unary, onehot_a)
+    u_cur = jnp.einsum("hwk,hwk->hw", unary, onehot_cur)
+
+    c0 = jnp.where(in_play, u_cur, 0.0)     # keep current label
+    c1 = jnp.where(in_play, u_alpha, 0.0)   # take alpha
+    caps0 = jnp.zeros((8,) + labels.shape, unary.dtype)
+    for d in range(4):
+        di, dj = ALL_DIRS[d]
+        lam = wmaps[d] * beta                       # edge p -> d-neighbor q
+        nb_lab = _shift_fwd(labels, di, dj, -1)
+        nb_play = _shift_fwd(in_play, di, dj, False)
+        nb_alpha = _shift_fwd(is_alpha, di, dj, False)
+        both = in_play & nb_play
+        same = nb_lab == labels
+        c1 = c1 + jnp.where(both & same, lam, 0.0)
+        # the q-side unary shift (D - C = -lam) lives at the neighbor pixel
+        shift_q = jnp.where(both, lam, 0.0)
+        c1 = c1 - _neighbor(shift_q, _rev(d), 0.0)
+        caps0 = caps0.at[d].add(
+            jnp.where(both, jnp.where(same, 2.0 * lam, lam), 0.0))
+        # neighbor frozen at alpha: p pays lam iff it keeps (l_p != alpha)
+        c0 = c0 + jnp.where(in_play & nb_alpha, lam, 0.0)
+        # p frozen at alpha with movable q: q pays lam iff it keeps
+        pen_q = jnp.where(is_alpha & nb_play, lam, 0.0)
+        c0 = c0 + _neighbor(pen_q, _rev(d), 0.0)
+
+    diff = jnp.where(in_play, c1 - c0, 0.0)
+    excess0 = jnp.maximum(diff, 0.0)          # S -> p (cut => take alpha)
+    cap_t0 = jnp.maximum(-diff, 0.0)          # p -> T (cut => keep)
+    source_side = grid_mincut(excess0, cap_t0, caps0, max_sweeps,
+                              relabel_every)
+    new_labels = jnp.where(source_side, labels, alpha).astype(labels.dtype)
+    return jnp.where(in_play, new_labels, labels)
+
+
+def expansion_optimize(unary: jnp.ndarray, wmaps: jnp.ndarray,
+                       mask: jnp.ndarray, init_labels: jnp.ndarray,
+                       beta: float, n_states: int, max_cycles: int = 10,
+                       max_sweeps: int = 3000, tol: float = 1e-6
+                       ) -> jnp.ndarray:
+    """Exact alpha-expansion on device: host loop over cycles, one jitted
+    expansion_move per label (alpha traced => K dispatches per cycle)."""
+    from phylo_hmrf_tpu.ops.potts import potts_energy
+
+    energy = jax.jit(functools.partial(potts_energy, beta=beta))
+    move = jax.jit(functools.partial(expansion_move, beta=beta,
+                                     max_sweeps=max_sweeps))
+    labels = jnp.where(mask, init_labels, 0).astype(jnp.int32)
+    prev_e = float(energy(labels, unary, wmaps, mask))
+    for _ in range(max_cycles):
+        for a in range(n_states):
+            labels = move(labels, unary, wmaps, mask, jnp.int32(a))
+        e = float(energy(labels, unary, wmaps, mask))
+        if prev_e - e <= tol * max(1.0, abs(prev_e)):
+            break
+        prev_e = e
+    return labels
+
+
 def exact_labels(unary: jnp.ndarray, wmaps: jnp.ndarray, mask: jnp.ndarray,
                  warm: jnp.ndarray, beta: float, n_states: int,
-                 max_cycles: int = 2, icm_max_sweeps: int = 60) -> jnp.ndarray:
+                 max_cycles: int = 2, icm_max_sweeps: int = 60,
+                 method: str = "swap") -> jnp.ndarray:
     """Full-quality labeling: annealed mean field + ICM proposes, exact
-    on-device alpha-beta swap finishes. Matches the reference's graph-cut
-    E-step (pygco swap, phylo_hmrf.py:496) to float tolerance."""
+    on-device graph-cut move-making finishes (``method``: "swap" matches the
+    reference's E-step, pygco swap at phylo_hmrf.py:496; "expansion" is the
+    GCO alpha-expansion it also ships, GCoptimization.cpp:965)."""
     from phylo_hmrf_tpu.ops.icm import icm_with_energy, mean_field
 
     mf = mean_field(unary, wmaps, beta)
@@ -227,6 +311,9 @@ def exact_labels(unary: jnp.ndarray, wmaps: jnp.ndarray, mask: jnp.ndarray,
     cand_b, e_b = icm_with_energy(unary, wmaps, mask, warm, beta,
                                   icm_max_sweeps)
     start = jnp.where(e_a <= e_b, cand_a, cand_b)
+    if method == "expansion":
+        return expansion_optimize(unary, wmaps, mask, start, beta, n_states,
+                                  max_cycles=max_cycles)
     return swap_optimize(unary, wmaps, mask, start, beta, n_states,
                          max_cycles=max_cycles)
 

@@ -10,7 +10,8 @@ import pytest
 from phylo_hmrf_tpu import native
 from phylo_hmrf_tpu.data.regions import (
     flat_edge_list, flat_index_order, region_from_samples)
-from phylo_hmrf_tpu.ops.maxflow_tpu import grid_mincut, swap_optimize
+from phylo_hmrf_tpu.ops.maxflow_tpu import (
+    expansion_move, expansion_optimize, grid_mincut, swap_optimize)
 from phylo_hmrf_tpu.ops.potts import weight_maps, potts_energy
 from phylo_hmrf_tpu.data.regions import DIRS
 
@@ -93,4 +94,83 @@ def test_swap_optimize_matches_cpp(rng):
 
     # both are exact swap: same fixed-point quality (order may differ ->
     # allow a hair of slack either way)
+    assert e_tpu <= e_cpp + 1e-6 + 1e-4 * abs(e_cpp), (e_tpu, e_cpp)
+
+
+def test_expansion_move_is_optimal_bruteforce(rng):
+    """One expansion move must reach the minimum over the full move space
+    (every subset of movable pixels switching to alpha)."""
+    H = W = 3
+    K, beta = 3, 1.0
+    for trial in range(4):
+        unary = (rng.random((H, W, K)) * 2).astype(np.float32)
+        labels0 = rng.integers(0, K, (H, W)).astype(np.int32)
+        mask = np.ones((H, W), bool)
+        mask[0, 0] = trial % 2 == 0          # exercise a masked pixel too
+        wmaps = np.zeros((4, H, W), np.float32)
+        for d, (di, dj) in enumerate(DIRS):
+            lam = rng.random((H, W)).astype(np.float32)
+            for i in range(H):
+                for j in range(W):
+                    ii, jj = i + di, j + dj
+                    ok = (0 <= ii < H and 0 <= jj < W and mask[i, j]
+                          and mask[ii, jj])
+                    wmaps[d, i, j] = lam[i, j] if ok else 0.0
+        labels0 = np.where(mask, labels0, 0).astype(np.int32)
+        alpha = int(rng.integers(0, K))
+
+        out = np.asarray(expansion_move(
+            jnp.asarray(labels0), jnp.asarray(unary), jnp.asarray(wmaps),
+            jnp.asarray(mask), jnp.int32(alpha), beta))
+        e_move = float(potts_energy(jnp.asarray(out), jnp.asarray(unary),
+                                    jnp.asarray(wmaps), jnp.asarray(mask),
+                                    beta))
+
+        movable = [(i, j) for i in range(H) for j in range(W)
+                   if mask[i, j] and labels0[i, j] != alpha]
+        best = np.inf
+        for bits in itertools.product([0, 1], repeat=len(movable)):
+            cand = labels0.copy()
+            for (i, j), b in zip(movable, bits):
+                if b:
+                    cand[i, j] = alpha
+            e = float(potts_energy(jnp.asarray(cand), jnp.asarray(unary),
+                                   jnp.asarray(wmaps), jnp.asarray(mask),
+                                   beta))
+            best = min(best, e)
+        assert e_move <= best + 1e-4, (trial, e_move, best)
+        # the move never switches pixels away from non-alpha labels
+        assert np.all((out == labels0) | (out == alpha))
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_expansion_optimize_matches_cpp(rng):
+    """TPU alpha-expansion vs the C++ expansion on the same instance: both
+    are exact move-making optimizers, so converged energies must agree to
+    visiting-order slack (mirrors the swap gate above)."""
+    H0, K, beta, beta1 = 20, 4, 1.0, 0.5
+    rows, cols = flat_index_order(H0, H0, True)
+    vals = (rng.random((rows.shape[0], 3)) + 0.1).astype(np.float32)
+    region = region_from_samples(vals, H0, H0, True, pad_h=4, pad_w=4)
+    N = region.n_samples
+    unary_flat = (rng.random((N, K)) * 2).astype(np.float64)
+    warm = rng.integers(0, K, N).astype(np.int32)
+
+    edges = flat_edge_list(region)
+    w = np.exp(-beta1 * edges[:, 2])
+    ei = edges[:, :2].astype(np.int64)
+    cpp_labels = native.potts_expansion(ei, w, unary_flat, beta, warm, 100)
+    e_cpp = native.potts_energy(ei, w, unary_flat, beta, cpp_labels)
+    e_warm = native.potts_energy(ei, w, unary_flat, beta, warm)
+    assert e_cpp <= e_warm + 1e-9   # expansion moves never increase energy
+
+    unary_grid = np.zeros(region.shape + (K,), np.float32)
+    unary_grid[region.flat_rows, region.flat_cols] = unary_flat
+    wm = weight_maps(jnp.asarray(region.dmaps), beta1)
+    out = expansion_optimize(jnp.asarray(unary_grid), wm,
+                             jnp.asarray(region.mask),
+                             jnp.asarray(region.labels_to_grid(warm)),
+                             beta, K)
+    out_flat = region.labels_to_flat(np.asarray(out)).astype(np.int32)
+    e_tpu = native.potts_energy(ei, w, unary_flat, beta, out_flat)
     assert e_tpu <= e_cpp + 1e-6 + 1e-4 * abs(e_cpp), (e_tpu, e_cpp)

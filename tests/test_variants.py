@@ -78,3 +78,19 @@ def test_swap_tpu_labeler_em(example_tree, rng):
     model = PhyloHMRF(example_tree, regions, cfg)
     result = model.fit(verbose=False)
     assert np.isfinite(result.cost_vec).all()
+
+
+@pytest.mark.parametrize("labeler", ["expansion", "expansion_tpu"])
+def test_expansion_labeler_em(example_tree, rng, labeler):
+    """End-to-end EM with alpha-expansion (host C++ and on-device)."""
+    from phylo_hmrf_tpu import native
+    if labeler == "expansion" and not native.available():
+        pytest.skip("no native toolchain")
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=12)
+    cfg = PhyloHMRFConfig(n_states=3, max_iter=2, seed=1, mstep_iters=20,
+                          pad_h=4, pad_w=4, min_iter=0, threshold=1e-12,
+                          labeler=labeler, final_polish=False)
+    model = PhyloHMRF(example_tree, regions, cfg)
+    result = model.fit(verbose=False)
+    assert np.isfinite(result.cost_vec).all()
+    assert result.labels.shape[0] == model.n_samples
