@@ -109,11 +109,18 @@ def run(opts) -> str:
                      os.path.join(data_path, "species_name.1.txt"))
     with open(os.path.join(data_path, "path_list.txt")) as f:
         paths = [line.strip() for line in f if line.strip()]
-    # paths in path_list.txt may be relative to the data dir's parent
-    paths = [p if os.path.isabs(p) or os.path.exists(p)
-             else os.path.join(os.path.dirname(data_path.rstrip("/")) or ".",
-                               p)
-             for p in paths]
+    # paths in path_list.txt may be relative to the CWD, the data dir's
+    # parent (the reference layout: example_input/test_data/...), or the
+    # data dir itself — resolve in that order
+    def _resolve(p):
+        if os.path.isabs(p) or os.path.exists(p):
+            return p
+        parent = os.path.dirname(data_path.rstrip("/")) or "."
+        cand = os.path.join(parent, p)
+        if os.path.exists(cand):
+            return cand
+        return os.path.join(data_path, p)
+    paths = [_resolve(p) for p in paths]
     species = list(tree.species)
 
     if opts.chromvec == "-1":

@@ -43,6 +43,31 @@ from phylo_hmrf_tpu.ops.potts import (
 from phylo_hmrf_tpu.tree import PhyloTree
 
 
+def _gauss_logpdf_np(X, mean, cov, min_covar):
+    """Double-precision Gaussian logpdf with the reference's robustness
+    semantics (sklearn log_multivariate_normal_density + jitter loop,
+    reference phylo_hmrf.py:266-268, 1108-1133): symmetrize, Cholesky with
+    escalating min_covar jitter, eigen-pinv as the last resort."""
+    c = 0.5 * (np.asarray(cov, np.float64) + np.asarray(cov, np.float64).T)
+    F = c.shape[0]
+    d = X - np.asarray(mean, np.float64)
+    for mult in (0.0, 1.0, 10.0):
+        try:
+            L = np.linalg.cholesky(c + mult * min_covar * np.eye(F))
+            sol = np.linalg.solve(L, d.T)
+            logdet = 2.0 * np.log(np.diag(L)).sum()
+            return -0.5 * (np.sum(sol * sol, axis=0) + logdet
+                           + F * np.log(2.0 * np.pi))
+        except np.linalg.LinAlgError:
+            continue
+    w, v = np.linalg.eigh(c)
+    w_inv = np.where(w > 1e-12, 1.0 / np.maximum(w, 1e-12), 0.0)
+    sol = (d @ v) * np.sqrt(w_inv)
+    logdet = np.log(np.maximum(w, 1e-12)).sum()
+    return -0.5 * (np.sum(sol * sol, axis=1) + logdet
+                   + F * np.log(2.0 * np.pi))
+
+
 @dataclasses.dataclass
 class FitResult:
     """Mirrors the reference's fit_accumulate_test return tuple
@@ -262,7 +287,7 @@ class PhyloHMRF:
             from phylo_hmrf_tpu.parallel.halo import make_rowsharded_estep
             self._spatial_estep = make_rowsharded_estep(
                 self.mesh, weighted_pp=(cfg.estimate_type == 3),
-                max_sweeps=cfg.icm_max_sweeps)
+                max_sweeps=cfg.icm_max_sweeps, use_pallas=use_pallas)
             rows = NamedSharding(self.mesh, PartitionSpec("data"))
             rows1 = NamedSharding(self.mesh, PartitionSpec(None, "data"))
             self._spatial_arrays = [
@@ -519,7 +544,6 @@ class PhyloHMRF:
         """Exact graph-cut labeling on the host (CPU backend): alpha-beta
         swap (the reference's optimizer) or alpha-expansion."""
         from phylo_hmrf_tpu import native
-        from scipy.stats import multivariate_normal
 
         solver = (native.potts_expansion if method == "expansion"
                   else native.potts_swap)
@@ -528,8 +552,8 @@ class PhyloHMRF:
             r = self.regions[i]
             X = r.flat_values().astype(np.float64)
             logprob = np.stack([
-                multivariate_normal(means[c], covars[c],
-                                    allow_singular=True).logpdf(X)
+                _gauss_logpdf_np(X, means[c], covars[c],
+                                 self.cfg.min_covar)
                 for c in range(self.n_states)], axis=1)
             edges = flat_edge_list(r, self.cfg.num_neighbor)
             w = np.exp(-self.cfg.beta1 * edges[:, 2])

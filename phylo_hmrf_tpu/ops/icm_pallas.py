@@ -76,17 +76,24 @@ def _icm_phase_kernel(scalars_ref, unary_ref, mask_ref, labp_ref, wp_ref,
     out_ref[0] = jnp.where(phase & valid, best, center)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "halo_extended"))
 def icm_phase_pallas(labels, unary_k, wmaps, mask, beta, phase_a, phase_b,
-                     *, interpret: bool = False):
+                     *, interpret: bool = False,
+                     halo_extended: bool = False):
     """One checkerboard phase over a region batch.
 
     labels (R, H, W) int32; unary_k (R, K, H, W); wmaps (R, 4, H, W);
-    mask (R, H, W) int32 (1 = valid). Returns updated labels."""
+    mask (R, H, W) int32 (1 = valid). Returns updated labels.
+
+    With ``halo_extended``, labels and wmaps carry one exchanged halo row
+    on each side (row-sharded shard, parallel/halo.py); unary_k/mask stay
+    center-only, and the caller passes phase_a already offset by the
+    shard's global row parity. Returns center rows only."""
     R, K, H, W = unary_k.shape
     tile_h = _pick_tile_h(H, K, W)
-    labp = jnp.pad(labels, [(0, 0), (_HALO, _HALO), (0, 0)])
-    wp = jnp.pad(wmaps, [(0, 0), (0, 0), (_HALO, _HALO), (0, 0)])
+    hp = _HALO - 1 if halo_extended else _HALO
+    labp = jnp.pad(labels, [(0, 0), (hp, hp), (0, 0)])
+    wp = jnp.pad(wmaps, [(0, 0), (0, 0), (hp, hp), (0, 0)])
     scalars = jnp.stack([jnp.asarray(beta, unary_k.dtype),
                          jnp.asarray(phase_a, unary_k.dtype),
                          jnp.asarray(phase_b, unary_k.dtype)])

@@ -125,22 +125,32 @@ def _pick_tile_h(H: int, K: int, W: int,
     return 8
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "halo_extended"))
 def mf_sweep_pallas(q: jnp.ndarray, base: jnp.ndarray, wmaps: jnp.ndarray,
-                    T, damp, beta, *,
-                    interpret: bool = False) -> jnp.ndarray:
+                    T, damp, beta, *, interpret: bool = False,
+                    halo_extended: bool = False) -> jnp.ndarray:
     """One mean-field sweep over a region batch.
 
     q, base: (R, K, H, W); wmaps: (R, 4, H, W); H a multiple of 8 and W of
     128 (regions are padded that way). Also accepts unbatched (K, H, W) /
     (4, H, W). The batch is a grid dimension (not vmap: ANY-space refs
-    cannot be batched by vmap)."""
+    cannot be batched by vmap).
+
+    With ``halo_extended``, q and wmaps carry ONE extra row on each side
+    (a row-sharded shard's exchanged halo, parallel/halo.py) while base
+    stays center-only: the kernel's boundary rows then see the neighboring
+    shard's q/w instead of zeros. Returns center rows only."""
     squeeze = q.ndim == 3
     if squeeze:
         q, base, wmaps = q[None], base[None], wmaps[None]
-    R, K, H, W = q.shape
+    if halo_extended:
+        R, K, H2, W = q.shape
+        H = H2 - 2
+        pad = [(0, 0), (0, 0), (_HALO - 1, _HALO - 1), (0, 0)]
+    else:
+        R, K, H, W = q.shape
+        pad = [(0, 0), (0, 0), (_HALO, _HALO), (0, 0)]
     tile_h = _pick_tile_h(H, K, W)
-    pad = [(0, 0), (0, 0), (_HALO, _HALO), (0, 0)]
     qp = jnp.pad(q, pad)
     wp = jnp.pad(wmaps, pad)
     scalars = jnp.stack([jnp.asarray(T, q.dtype),

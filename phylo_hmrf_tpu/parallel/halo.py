@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from phylo_hmrf_tpu.config import SMALL_EPS
+from phylo_hmrf_tpu.data.regions import DIRS
 from phylo_hmrf_tpu.models.emission import gaussian_logpdf
 from phylo_hmrf_tpu.ops.potts import (
     neighbor_sums, neighbor_sums_soft, sufficient_stats, valid_maps,
@@ -74,6 +75,87 @@ def _mean_field_halo(unary, wmaps_ext, beta, axis, temps, iters_per_temp,
     return jnp.argmin(field_of(q), axis=-1).astype(jnp.int32)
 
 
+def _mf_base(unary_k, w_ext, beta):
+    """base = unary + beta * wsum with cross-shard backward weights.
+    unary_k (K, Hl, W); w_ext (4, Hl+2, W) halo-extended."""
+    from phylo_hmrf_tpu.ops.potts import _shift_bwd
+
+    wsum_ext = jnp.zeros(w_ext.shape[1:], w_ext.dtype)
+    for d, (dr, dc) in enumerate(DIRS):
+        wsum_ext = wsum_ext + w_ext[d] + _shift_bwd(w_ext[d], dr, dc, 0.0)
+    return unary_k + beta * wsum_ext[None, 1:-1]
+
+
+def _mean_field_halo_pallas(unary, w_ext, beta, axis, temps, iters_per_temp,
+                            damping):
+    """Fused-kernel variant of `_mean_field_halo`: each sweep exchanges one
+    q row over ICI, then runs the Pallas MF sweep on the halo-extended local
+    slab (ops/mf_pallas.py, halo_extended mode)."""
+    from phylo_hmrf_tpu.ops.mf_pallas import mf_sweep_pallas
+
+    unary_k = jnp.transpose(unary, (2, 0, 1))        # (K, Hl, W)
+    base = _mf_base(unary_k, w_ext, beta)
+    q = jax.nn.softmax(-unary_k, axis=0)
+    temps_arr = jnp.repeat(jnp.asarray(temps, unary.dtype), iters_per_temp)
+
+    interp = jax.default_backend() != "tpu"   # CPU tests: interpret mode
+
+    def step(q, T):
+        q_ext = extend_rows(q, axis, row_axis=1)     # (K, Hl+2, W)
+        return mf_sweep_pallas(q_ext, base, w_ext, T, damping, beta,
+                               halo_extended=True, interpret=interp), None
+
+    q, _ = jax.lax.scan(step, q, temps_arr)
+    # final hard assignment at T -> 0 (once; plain jnp)
+    q_hwk = jnp.transpose(q, (1, 2, 0))
+    q_ext = extend_rows(q_hwk, axis)
+    agree_ext, wsum_ext = neighbor_sums_soft(q_ext, w_ext)
+    field = unary + beta * (wsum_ext[1:-1][..., None] - agree_ext[1:-1])
+    return jnp.argmin(field, axis=-1).astype(jnp.int32)
+
+
+def _icm_halo_pallas(unary, w_ext, mask, init_labels, beta, max_sweeps,
+                     axis):
+    """Fused-kernel variant of `_icm_halo`: one ppermute label-halo exchange
+    per checkerboard phase, then the Pallas ICM phase kernel on the local
+    slab. Phase parity is offset by the shard's global row offset."""
+    from phylo_hmrf_tpu.ops.icm_pallas import icm_phase_pallas
+
+    Hl, W, K = unary.shape
+    unary_k = jnp.transpose(unary, (2, 0, 1))[None]
+    mask_i = mask.astype(jnp.int32)[None]
+    row0 = jax.lax.axis_index(axis) * Hl
+    labels0 = jnp.where(mask, init_labels, 0).astype(jnp.int32)
+    interp = jax.default_backend() != "tpu"   # CPU tests: interpret mode
+
+    def one_sweep(labels):
+        changed = jnp.zeros((), jnp.int32)
+        for a in (0, 1):
+            for b in (0, 1):
+                lab_ext = extend_rows(labels, axis)
+                a_eff = (a + row0) % 2   # local parity of global phase a
+                new = icm_phase_pallas(lab_ext[None], unary_k, w_ext[None],
+                                       mask_i, beta, a_eff, b,
+                                       halo_extended=True,
+                                       interpret=interp)[0]
+                changed += jnp.sum((new != labels).astype(jnp.int32))
+                labels = new
+        return labels, jax.lax.psum(changed, axis)
+
+    def cond(state):
+        _, changed, sweep = state
+        return (changed > 0) & (sweep < max_sweeps)
+
+    def body(state):
+        labels, _, sweep = state
+        labels, changed = one_sweep(labels)
+        return labels, changed, sweep + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels0, jnp.int32(1), jnp.int32(0)))
+    return labels
+
+
 def _phase_masks_local(Hl: int, W: int, axis: str):
     # offset local rows by the shard's global row offset so checkerboard
     # parity stays globally consistent even for odd per-shard heights
@@ -119,7 +201,6 @@ def _energy_halo(labels, unary, wmaps_local, mask, beta, axis):
     """Global MRF energy of a row-sharded labeling (psum over shards).
     Each shard sums its own pixels and the edges whose weights it stores;
     forward neighbors may live on the next shard -> extend labels."""
-    from phylo_hmrf_tpu.data.regions import DIRS
     from phylo_hmrf_tpu.ops.potts import _shift_fwd
 
     onehot = jax.nn.one_hot(labels, unary.shape[-1], dtype=unary.dtype)
@@ -138,23 +219,35 @@ def estep_region_rowsharded(img, mask, dmaps, warm, means, covars, beta,
                             beta1, *, weighted_pp: bool,
                             max_sweeps: int, axis: str = "data",
                             temps=(4.0, 2.0, 1.0, 0.5, 0.25),
-                            iters_per_temp: int = 8, damping: float = 0.5):
+                            iters_per_temp: int = 8, damping: float = 0.5,
+                            use_pallas: bool = False):
     """Shard-local E-step body (call under shard_map with rows of one region
     sharded over `axis`). Shapes are per-shard: img (Hl, W, F), mask
     (Hl, W), dmaps (4, Hl, W), warm (Hl, W).
 
     Returns (labels (Hl, W), stats psum-reduced, cost_vec (4,) global,
-    n_valid global).
+    n_valid global). With ``use_pallas`` (and kernel-compatible local
+    shapes: Hl % 8 == 0, W % 128 == 0) the MF/ICM sweeps between halo
+    exchanges run as the fused Pallas kernels.
     """
     logprob = gaussian_logpdf(img, means, covars)
     unary = -logprob
     w_cut = weight_maps(dmaps, beta1)
     w_ext = extend_rows(w_cut, axis, row_axis=1)
 
-    mf = _mean_field_halo(unary, w_ext, beta, axis, temps, iters_per_temp,
-                          damping)
-    cand_a = _icm_halo(unary, w_ext, mask, mf, beta, max_sweeps, axis)
-    cand_b = _icm_halo(unary, w_ext, mask, warm, beta, max_sweeps, axis)
+    Hl, W = mask.shape
+    if use_pallas and Hl % 8 == 0 and W % 128 == 0:
+        mf = _mean_field_halo_pallas(unary, w_ext, beta, axis, temps,
+                                     iters_per_temp, damping)
+        cand_a = _icm_halo_pallas(unary, w_ext, mask, mf, beta, max_sweeps,
+                                  axis)
+        cand_b = _icm_halo_pallas(unary, w_ext, mask, warm, beta, max_sweeps,
+                                  axis)
+    else:
+        mf = _mean_field_halo(unary, w_ext, beta, axis, temps,
+                              iters_per_temp, damping)
+        cand_a = _icm_halo(unary, w_ext, mask, mf, beta, max_sweeps, axis)
+        cand_b = _icm_halo(unary, w_ext, mask, warm, beta, max_sweeps, axis)
     e_a = _energy_halo(cand_a, unary, w_cut, mask, beta, axis)
     e_b = _energy_halo(cand_b, unary, w_cut, mask, beta, axis)
     labels = jnp.where(e_a <= e_b, cand_a, cand_b)
@@ -195,12 +288,14 @@ def estep_region_rowsharded(img, mask, dmaps, warm, means, covars, beta,
 
 
 def make_rowsharded_estep(mesh: Mesh, *, weighted_pp: bool,
-                          max_sweeps: int, axis: str = "data"):
+                          max_sweeps: int, axis: str = "data",
+                          use_pallas: bool = False):
     """jitted shard_map wrapper: global shapes in, global shapes out.
     img (H, W, F) with H divisible by mesh size (pad rows with mask=False)."""
     body = functools.partial(
         estep_region_rowsharded,
-        weighted_pp=weighted_pp, max_sweeps=max_sweeps, axis=axis)
+        weighted_pp=weighted_pp, max_sweeps=max_sweeps, axis=axis,
+        use_pallas=use_pallas)
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(axis), P(axis), P(None, axis), P(axis), P(), P(),

@@ -1,0 +1,101 @@
+"""The canonical README run (reference README.md:51): 4 species, chr21+22
+joint, 20 states, estimate_type=3 — on the reconstructed example input
+(the mirror strips hg38 + chr21 contact files; data/reconstruct.py
+synthesizes them deterministically from panPan2)."""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.io
+
+from phylo_hmrf_tpu.data import reconstruct
+
+from tests.conftest import EXAMPLE_INPUT
+
+pytestmark = pytest.mark.slow
+
+
+def _have_donor():
+    return os.path.exists(os.path.join(
+        EXAMPLE_INPUT, "test_data", "hic_panPan2", "chr21.50K.txt"))
+
+
+@pytest.fixture(scope="module")
+def canon_input(tmp_path_factory):
+    if not _have_donor():
+        pytest.skip("reference example data missing")
+    out = tmp_path_factory.mktemp("canon") / "canonical_input"
+    reconstruct.main(["--out", str(out), "--reference", EXAMPLE_INPUT])
+    return str(out)
+
+
+def test_canonical_readme_run(canon_input, tmp_path, monkeypatch):
+    """End-to-end CLI with the canonical flags (-n 20 --chromvec 21,22
+    -g 3 -r 1); short EM budget keeps the CPU test tractable, the full
+    miter-100 run is exercised on TPU (PARITY.md)."""
+    from phylo_hmrf_tpu import cli
+
+    monkeypatch.chdir(tmp_path)   # quantile cache file lands here
+    out_dir = str(tmp_path / "out")
+    out_file = cli.run(cli.parse_args([
+        "-n", "20", "-r", "1", "--reload", "0", "--chromvec", "21,22",
+        "--miter", "2", "-g", "3", "-p", canon_input,
+        "--output", out_dir, "--seed", "0"]))
+
+    m = scipy.io.loadmat(out_file)
+    assert os.path.basename(out_file) == "estimate_ou_1_1.00_20.mat"
+    len_vec = m["len_vec"]
+    assert len_vec.shape == (2, 10)               # chr21 + chr22 regions
+    assert sorted(len_vec[:, 9].tolist()) == [21, 22]
+    n_samples = int(len_vec[:, 0].sum())
+    assert m["state_vec"].size == n_samples
+    used = np.unique(m["state_vec"].ravel())
+    assert used.size >= 5                         # a real 20-state problem
+    # 4-species tree: 8 nodes, 7 branches -> 23 OU params per state
+    assert m["params_vec1"].shape == (20, 23)
+    assert np.isfinite(m["cost_vec"]).all()
+    # 4 features (one per species) in the restored moments
+    npz = np.load(out_file.replace(".mat", ".npz"))
+    assert npz["means"].shape == (20, 4)
+
+    # post-processing journey on the canonical output
+    from phylo_hmrf_tpu.postprocess.smooth import (
+        smooth_state_vec, states_to_grid, states_to_rgb)
+    sm = smooth_state_vec(m["state_vec"].ravel(), len_vec, 20)
+    assert sm.shape[0] == n_samples
+    row = len_vec[0]
+    grid = states_to_grid(sm[row[1]:row[2]], int(row[3]), int(row[4]),
+                          is_diag=True)
+    rgb = states_to_rgb(grid)
+    assert rgb.shape == grid.shape + (3,)
+
+
+def test_canonical_with_offdiagonal_blocks(canon_input):
+    """Canonical-style fit where a centromere split produces diagonal +
+    off-diagonal sub-blocks (reference utility.py:385-393), exercising the
+    rectangular-region path inside a joint multi-region EM."""
+    from phylo_hmrf_tpu.config import PhyloHMRFConfig
+    from phylo_hmrf_tpu.data.pipeline import load_dataset
+    from phylo_hmrf_tpu.models.hmrf import PhyloHMRF
+    from phylo_hmrf_tpu.tree import load_tree
+
+    tree = load_tree(os.path.join(canon_input, "edge.1.txt"),
+                     os.path.join(canon_input, "branch_length.1.txt"),
+                     os.path.join(canon_input, "species_name.1.txt"))
+    cfg = PhyloHMRFConfig(
+        n_states=5, max_iter=2, seed=0, mstep_iters=30, min_iter=0,
+        estimate_type=3, final_polish=False,
+        centromere_splits={21: (30_000_000, 30_500_000)})
+    paths = [os.path.join(canon_input, "test_data", f"hic_{s}")
+             for s in tree.species]
+    regions, _ = load_dataset(
+        [21], cfg, os.path.join(canon_input, "hg38.chrom.sizes"),
+        paths, list(tree.species), canon_input)
+    kinds = sorted(r.is_diag for r in regions)
+    assert len(regions) == 3 and kinds == [False, True, True]
+
+    model = PhyloHMRF(tree, regions, cfg)
+    result = model.fit(verbose=False)
+    assert np.isfinite(result.cost_vec).all()
+    assert result.labels.shape[0] == model.n_samples

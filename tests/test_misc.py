@@ -147,3 +147,52 @@ def test_edge_dump_format(rng, tmp_path):
     assert data.shape[1] == 3
     assert (data[:, 0] < data[:, 1]).all()       # id1 < id2 ordering
     assert ((data[:, 2] > 0) & (data[:, 2] <= 1)).all()   # exp(-0.5 d)
+
+
+def test_distributed_two_processes():
+    """Real multi-process jax.distributed: two OS processes, each with 2
+    virtual CPU devices, form one 4-device mesh; the sufficient-stats psum
+    and the ppermute halo exchange cross the process boundary
+    (parallel/distributed.py::initialize_distributed beyond its no-op
+    branch)."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(pid), "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-2000:]
+        line = [ln for ln in out.splitlines()
+                if ln.startswith("WORKER_JSON ")]
+        assert line, out[-2000:]
+        outs.append(json.loads(line[0][len("WORKER_JSON "):]))
+
+    row_sum = [64 * i + 28 for i in range(4)]    # arange(32).reshape(4,8)
+    for res in outs:
+        assert res["distributed"] is True
+        assert res["process_count"] == 2
+        assert res["n_devices"] == 4 and res["n_local_devices"] == 2
+        assert res["psum"] == res["psum_expected"] == 120.0
+        halo = np.asarray(res["halo_local"]).reshape(2, 3)
+        for k in range(2):
+            i = 2 * res["pid"] + k
+            top = row_sum[i - 1] if i > 0 else 0.0
+            bot = row_sum[i + 1] if i < 3 else 0.0
+            np.testing.assert_allclose(halo[k],
+                                       [top, row_sum[i], bot])
