@@ -29,8 +29,9 @@ from phylo_hmrf_tpu.config import THRESH1
 # ---------------------------------------------------------------------------
 
 def _hole_fill_python(mtx: np.ndarray, symmetric: bool,
-                      threshold: float) -> np.ndarray:
-    """Faithful sequential fallback (reference utility.py:603-660)."""
+                      threshold: float,
+                      include_center: bool = False) -> np.ndarray:
+    """Faithful sequential fallback (reference utility.py:603-685)."""
     n1, n2 = mtx.shape
     out = mtx
     for i in range(2, n1 - 1):
@@ -38,7 +39,7 @@ def _hole_fill_python(mtx: np.ndarray, symmetric: bool,
         for j in range(js, n2 - 1):
             if out[i, j] < threshold:
                 window = out[i - 1:i + 2, j - 1:j + 2].ravel()
-                nb = np.delete(window, 4)
+                nb = window if include_center else np.delete(window, 4)
                 m = np.median(nb)
                 if m > threshold:
                     out[i, j] = m
@@ -48,15 +49,25 @@ def _hole_fill_python(mtx: np.ndarray, symmetric: bool,
 
 
 def hole_fill(mtx: np.ndarray, symmetric: bool,
-              threshold: float = THRESH1) -> np.ndarray:
-    """In-place sequential median hole-fill of one channel (float64 copy)."""
+              threshold: float = THRESH1,
+              include_center: bool = False) -> np.ndarray:
+    """In-place sequential median hole-fill of one channel (float64 copy).
+
+    ``include_center`` selects the reference's ``near_interpolation2``
+    variant (utility.py:663-685): the median is taken over the full 3x3
+    window including the below-threshold center (symmetric scan only).
+    """
+    if include_center and not symmetric:
+        raise ValueError("include_center requires the symmetric variant "
+                         "(reference near_interpolation2)")
     out = np.ascontiguousarray(mtx, dtype=np.float64)
     if out is mtx:
         out = out.copy()
     try:
         from phylo_hmrf_tpu import native
         lib = native.load()
-        fn = (lib.phmrf_hole_fill_sym if symmetric
+        fn = (lib.phmrf_hole_fill_sym2 if include_center
+              else lib.phmrf_hole_fill_sym if symmetric
               else lib.phmrf_hole_fill_rect)
         fn.restype = None
         fn.argtypes = [ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
@@ -65,7 +76,7 @@ def hole_fill(mtx: np.ndarray, symmetric: bool,
            out.shape[0], out.shape[1], threshold, 3)
         return out
     except Exception:
-        return _hole_fill_python(out, symmetric, threshold)
+        return _hole_fill_python(out, symmetric, threshold, include_center)
 
 
 # ---------------------------------------------------------------------------

@@ -818,6 +818,32 @@ class PhyloHMRF:
         kw.setdefault("track_states", True)
         return self.fit(**kw)
 
+    def fit_v1(self, **kw) -> FitResult:
+        """Legacy v1 ``fit()`` (reference phylo_hmrf_v1/base.py:191-268):
+        whole-frame EM — here a run over the given regions — with patience
+        20, NO minimum-iteration guard on the threshold stop (v1 may stop at
+        iter 0), and a single best-cost minimum tracked from iter >= 3 whose
+        params are restored for both the returned params and the moments
+        (the main engine restores moments from the overall best instead).
+        v1's full-frame posterior pass is the same mean-field posterior this
+        engine computes per region."""
+        cfg0 = self.cfg
+        self.cfg = dataclasses.replace(cfg0, min_iter=-1)
+        try:
+            kw.setdefault("patience", 20)
+            result = self.fit(**kw)
+        finally:
+            self.cfg = cfg0
+        # v1 restores the iter>=3 minimum everywhere (base.py:259-260)
+        self.params_vec = result.params_vec1.copy()
+        means, covars = _moments(
+            jnp.asarray(result.params_vec1, jnp.float32), tree=self.tree)
+        self.means_ = np.asarray(means, np.float64)
+        self.covars_ = (np.asarray(covars, np.float64)
+                        + cfg0.min_covar * np.eye(self.n_features))
+        return dataclasses.replace(result, means=self.means_.copy(),
+                                   covars=self.covars_.copy())
+
     # ------------------------------------------------------------------
     # inference-only path (reference `predict`, phylo_hmrf.py:470)
     # ------------------------------------------------------------------

@@ -72,4 +72,29 @@ void phmrf_hole_fill_rect(double* mtx, int64_t n1, int64_t n2,
   }
 }
 
+// Center-including symmetric variant (reference near_interpolation2,
+// utility.py:663-685): the median is taken over the FULL 3x3 window
+// including the (below-threshold) center value.
+void phmrf_hole_fill_sym2(double* mtx, int64_t n1, int64_t n2,
+                          double threshold, int32_t /*window*/) {
+  for (int64_t i = 2; i < n1 - 1; ++i) {
+    for (int64_t j = i; j < n2 - 1; ++j) {
+      if (mtx[i * n2 + j] < threshold) {
+        double nb[9];
+        int n = 0;
+        for (int64_t di = -1; di <= 1; ++di) {
+          for (int64_t dj = -1; dj <= 1; ++dj) {
+            nb[n++] = mtx[(i + di) * n2 + (j + dj)];
+          }
+        }
+        double m = median8(nb, n);
+        if (m > threshold) {
+          mtx[i * n2 + j] = m;
+          mtx[j * n2 + i] = m;
+        }
+      }
+    }
+  }
+}
+
 }  // extern "C"

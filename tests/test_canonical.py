@@ -38,9 +38,12 @@ def test_canonical_readme_run(canon_input, tmp_path, monkeypatch):
 
     monkeypatch.chdir(tmp_path)   # quantile cache file lands here
     out_dir = str(tmp_path / "out")
+    # --final_polish 0: the K=20 exact-swap polish is a TPU-scale operation
+    # (190 pair cuts/cycle); the full default pipeline incl. polish is
+    # exercised by the miter-100 canonical run on TPU (PARITY.md)
     out_file = cli.run(cli.parse_args([
         "-n", "20", "-r", "1", "--reload", "0", "--chromvec", "21,22",
-        "--miter", "2", "-g", "3", "-p", canon_input,
+        "--miter", "2", "-g", "3", "-p", canon_input, "--final_polish", "0",
         "--output", out_dir, "--seed", "0"]))
 
     m = scipy.io.loadmat(out_file)

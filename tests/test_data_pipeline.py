@@ -275,3 +275,26 @@ def test_observed_mask_mode(tiny_dataset):
     regions2 = load_cache(out, cfg)
     assert regions2[0].n_samples == r.n_samples
     np.testing.assert_array_equal(regions2[0].flat_rows, r.flat_rows)
+
+
+def test_hole_fill_center_including_variant(rng):
+    """near_interpolation2 semantics (reference utility.py:663-685): median
+    over the full 3x3 window including the below-threshold center; C++ and
+    python fallback agree; differs from the center-excluding variant."""
+    from phylo_hmrf_tpu.config import THRESH1
+    m = (rng.random((12, 12)) + 0.2).astype(np.float64)
+    m = 0.5 * (m + m.T)
+    holes = [(3, 5), (4, 4), (6, 9), (7, 7)]
+    for i, j in holes:
+        m[i, j] = m[j, i] = 0.0
+    out_c = hole_fill(m.copy(), symmetric=True, include_center=True)
+    out_py = _hole_fill_python(m.copy(), True, THRESH1, include_center=True)
+    np.testing.assert_allclose(out_c, out_py)
+    out_excl = hole_fill(m.copy(), symmetric=True)
+    assert not np.allclose(out_c, out_excl)
+    # center inclusion drags the median down (0 is in the window)
+    i, j = holes[0]
+    assert out_c[i, j] <= out_excl[i, j]
+    assert out_c[i, j] == out_c[j, i]
+    with pytest.raises(ValueError):
+        hole_fill(m.copy(), symmetric=False, include_center=True)

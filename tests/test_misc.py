@@ -196,3 +196,26 @@ def test_distributed_two_processes():
             bot = row_sum[i + 1] if i < 3 else 0.0
             np.testing.assert_allclose(halo[k],
                                        [top, row_sum[i], bot])
+
+
+def test_fit_v1_variant(example_tree, rng):
+    """Legacy v1 fit(): patience 20, no min-iteration stop guard, moments
+    restored from the iter>=3 minimum (phylo_hmrf_v1/base.py:191)."""
+    from phylo_hmrf_tpu.config import PhyloHMRFConfig
+    from phylo_hmrf_tpu.models.hmrf import PhyloHMRF, _moments
+    import jax.numpy as jnp
+    from tests.test_em import synth_problem
+
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
+    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=6, seed=1,
+                          mstep_iters=30, pad_h=8, pad_w=8)
+    model = PhyloHMRF(example_tree, regions, cfg)
+    res = model.fit_v1(verbose=False)
+    assert cfg.min_iter == model.cfg.min_iter == 5   # cfg restored
+    assert np.isfinite(res.cost_vec).all()
+    # moments correspond to params_vec1 (the iter>=3 minimum), not the
+    # overall best
+    means, _ = _moments(jnp.asarray(res.params_vec1, jnp.float32),
+                        tree=example_tree)
+    np.testing.assert_allclose(res.means, np.asarray(means, np.float64),
+                               rtol=1e-6)
