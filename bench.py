@@ -160,6 +160,70 @@ def bench_tpu(tree, region, means, covs, warm, iters):
     return max((t5 - t1) / 4.0, 1e-9)
 
 
+def bench_spatial(tree, region, means, covs, warm, iters):
+    """Row-sharded (halo-exchange) E-step + vmapped M-step over the devices
+    present (1 on the single bench chip — measures the spatial-path kernels;
+    the mesh scales it on pods). Same chained-dispatch timing as bench_tpu."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+    from phylo_hmrf_tpu.models.ou import ou_nll_stats
+    from phylo_hmrf_tpu.ops.lbfgs import minimize_boxed
+    from phylo_hmrf_tpu.parallel.halo import make_rowsharded_estep
+    from phylo_hmrf_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh((n_dev,))
+    rows = NamedSharding(mesh, PartitionSpec("data"))
+    rows1 = NamedSharding(mesh, PartitionSpec(None, "data"))
+    img = jax.device_put(jnp.asarray(region.img), rows)
+    mask = jax.device_put(jnp.asarray(region.mask), rows)
+    dmaps = jax.device_put(jnp.asarray(region.dmaps), rows1)
+    warm_g = jax.device_put(jnp.asarray(region.labels_to_grid(warm)), rows)
+    means_j = jnp.asarray(means, jnp.float32)
+    covs_j = jnp.asarray(covs, jnp.float32)
+    estep = make_rowsharded_estep(mesh, weighted_pp=False, max_sweeps=60,
+                                  use_pallas=True)
+    beta_j, beta1_j = jnp.float32(1.0), jnp.float32(0.5)
+    n_samples = float(region.n_samples)
+
+    def solve_state(p0, post_c, obs_c, obs2_c):
+        def fn(p):
+            return ou_nll_stats(p, post_c, obs_c, obs2_c, tree, n_samples,
+                                1.0, 1e-3)
+        return minimize_boxed(fn, p0, 1e-16, 100.0, 150)
+
+    mstep = jax.jit(jax.vmap(solve_state))
+    rng = np.random.default_rng(1)
+    p0 = jnp.asarray(rng.random((K, tree.n_params)), jnp.float32)
+
+    def em_chain(n):
+        warm = warm_g
+        acc = jnp.float32(0)
+        for _ in range(n):
+            labels, (post, obs, obs2), costs, nv = estep(
+                img, mask, dmaps, warm, means_j, covs_j, beta_j, beta1_j)
+            params, fval = mstep(p0, post, obs, obs2)
+            warm = labels
+            acc = acc + jnp.sum(params) + jnp.sum(costs)
+        return float(acc)
+
+    em_chain(1)
+    em_chain(2)
+
+    def timed(n):
+        vals = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            em_chain(n)
+            vals.append(time.perf_counter() - t0)
+        return float(np.median(vals))
+
+    t1, t5 = timed(1), timed(5)
+    return max((t5 - t1) / 4.0, 1e-9)
+
+
 def bench_cpu(tree, region, means, covs, warm):
     """One reference-faithful EM iteration on the CPU."""
     from scipy.optimize import minimize as sp_minimize
@@ -216,22 +280,157 @@ def bench_cpu(tree, region, means, covs, warm):
     return t_estep + t_mstep, t_estep, t_mstep
 
 
+REAL_CACHE = os.path.join(REPO, "benchmarks", "cpu_baseline_real.json")
+REAL_INPUT = "/root/reference/example_input"
+
+
+def build_real_problem():
+    """Real chr22 Hi-C (3 species present in this mirror), k-means-init
+    moments — the unary field the EM actually sees at iteration 0."""
+    from phylo_hmrf_tpu.config import PhyloHMRFConfig
+    from phylo_hmrf_tpu.data.pipeline import load_dataset
+    from phylo_hmrf_tpu.models.hmrf import PhyloHMRF
+    from phylo_hmrf_tpu.tree import build_tree
+
+    species = ["gorGor4", "panTro5", "panPan2"]
+    paths = [os.path.join(REAL_INPUT, "test_data", f"hic_{s}")
+             for s in species]
+    tree = build_tree([(0, 1), (0, 2), (2, 3), (2, 4)], species=species)
+    cfg = PhyloHMRFConfig(n_states=K, seed=SEED)
+    regions, _ = load_dataset(
+        [22], cfg, os.path.join(REAL_INPUT, "hg38.chrom.sizes"),
+        paths, species, REAL_INPUT)
+    model = PhyloHMRF(tree, regions, cfg)
+    model.initialize()
+    region = regions[0]
+    warm = region.labels_to_flat(model.labels_local[0]).astype(np.int32)
+    return (tree, region, model.means_.copy(), model.covars_.copy(), warm,
+            None)
+
+
+def bench_phases_real(tree, region, means, covs, warm, iters):
+    """Per-phase E-step breakdown on real chr22 (unary / MF / ICM /
+    posteriors+stats), chained-dispatch differenced like bench_tpu."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from phylo_hmrf_tpu.models.emission import gaussian_logpdf
+    from phylo_hmrf_tpu.models.hmrf import _finish_bucket
+    from phylo_hmrf_tpu.ops.potts import weight_maps
+
+    on_tpu = jax.default_backend() == "tpu"
+    img = jnp.asarray(region.img[None])
+    mask = jnp.asarray(region.mask[None])
+    dmaps = jnp.asarray(region.dmaps[None])
+    warm_g = jnp.asarray(region.labels_to_grid(warm)[None])
+    means_j = jnp.asarray(means, jnp.float32)
+    covs_j = jnp.asarray(covs, jnp.float32)
+    wm = weight_maps(dmaps, 0.5)
+
+    unary_fn = jax.jit(lambda im, m, c: -gaussian_logpdf(im, m, c))
+    unary = unary_fn(img, means_j, covs_j)
+
+    if on_tpu:
+        from phylo_hmrf_tpu.ops.icm_pallas import icm_pallas
+        from phylo_hmrf_tpu.ops.mf_pallas import mean_field_pallas
+        mf_fn = jax.jit(lambda u, w: mean_field_pallas(u, w, 1.0))
+        icm_fn = jax.jit(functools.partial(icm_pallas, beta=1.0,
+                                           max_sweeps=60))
+    else:
+        from phylo_hmrf_tpu.ops.icm import icm, mean_field
+        mf_fn = jax.jit(jax.vmap(lambda u, w: mean_field(u, w, 1.0)))
+        icm_fn = jax.jit(jax.vmap(
+            lambda u, w, m, l: icm(u, w, m, l, 1.0, 60)))
+    finish = jax.jit(functools.partial(_finish_bucket, weighted_pp=False))
+
+    mf_labels = mf_fn(unary, wm)
+    icm_labels = icm_fn(unary, wm, mask, mf_labels)
+
+    def chain(fn, args, n):
+        acc = jnp.float32(0)
+        for _ in range(n):
+            leaves = jax.tree.leaves(fn(*args))
+            acc = acc + jnp.sum(leaves[0].ravel()[:8].astype(jnp.float32))
+        return float(acc)
+
+    def timed(fn, args):
+        def run(n):
+            vals = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                chain(fn, args, n)
+                vals.append(time.perf_counter() - t0)
+            return float(np.median(vals))
+        run(1)
+        run(2)
+        return max((run(5) - run(1)) / 4.0, 1e-9)
+
+    beta_j, beta1_j = jnp.float32(1.0), jnp.float32(0.5)
+    return {
+        "unary_s": timed(unary_fn, (img, means_j, covs_j)),
+        "mf_s": timed(mf_fn, (unary, wm)),
+        "icm_s": timed(icm_fn, (unary, wm, mask, mf_labels)),
+        "posterior_stats_s": timed(
+            finish, (img, mask, dmaps, icm_labels, means_j, covs_j,
+                     beta_j, beta1_j)),
+    }
+
+
 def main():
-    global H0
+    global H0, K, F
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--remeasure-cpu", action="store_true")
     ap.add_argument("--stress", action="store_true",
                     help="10kb-resolution scale (3264^2 grid, 5.3M samples; "
                          "BASELINE config #4); no CPU baseline at this size")
+    ap.add_argument("--real", action="store_true",
+                    help="real chr22 Hi-C data (3 species) instead of the "
+                         "synthetic chr21-sized problem; adds the E-step "
+                         "phase breakdown")
+    ap.add_argument("--spatial", action="store_true",
+                    help="with --stress: run the row-sharded (halo) E-step "
+                         "with the fused Pallas kernels instead of the "
+                         "single-device bucket path")
     args = ap.parse_args()
+
+    if args.real:
+        F = 3
+        tree, region, means, covs, warm, _ = build_real_problem()
+        if os.path.exists(REAL_CACHE) and not args.remeasure_cpu:
+            with open(REAL_CACHE) as f:
+                cpu = json.load(f)
+        else:
+            total, te, tm = bench_cpu(tree, region, means, covs, warm)
+            cpu = {"total_s": total, "estep_s": te, "mstep_s": tm,
+                   "H0": region.H0, "K": K, "F": F}
+            os.makedirs(os.path.dirname(REAL_CACHE), exist_ok=True)
+            with open(REAL_CACHE, "w") as f:
+                json.dump(cpu, f, indent=1)
+        tpu_s = bench_tpu(tree, region, means, covs, warm, args.iters)
+        phases = bench_phases_real(tree, region, means, covs, warm,
+                                   args.iters)
+        print(json.dumps({
+            "metric": "chr22_real_em_iteration_time",
+            "value": round(tpu_s, 4),
+            "unit": "s",
+            "vs_baseline": round(cpu["total_s"] / tpu_s, 2),
+            "phases": {k: round(v, 5) for k, v in phases.items()},
+        }))
+        return
 
     if args.stress:
         H0 = 3264
         tree, region, means, covs, warm, _ = build_problem()
-        tpu_s = bench_tpu(tree, region, means, covs, warm, args.iters)
+        if args.spatial:
+            tpu_s = bench_spatial(tree, region, means, covs, warm,
+                                  args.iters)
+            metric = "chr21_10kb_spatial_em_iteration_time"
+        else:
+            tpu_s = bench_tpu(tree, region, means, covs, warm, args.iters)
+            metric = "chr21_10kb_em_iteration_time"
         print(json.dumps({
-            "metric": "chr21_10kb_em_iteration_time",
+            "metric": metric,
             "value": round(tpu_s, 4),
             "unit": "s",
             "vs_baseline": 0,
