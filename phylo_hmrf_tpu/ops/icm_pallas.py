@@ -108,8 +108,8 @@ def icm_phase_pallas(labels, unary_k, wmaps, mask, beta, phase_a, phase_b,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_h, W), lambda r, i: (r, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, tile_h, W), lambda r, i: (r, i, 0),
                                memory_space=pltpu.VMEM),

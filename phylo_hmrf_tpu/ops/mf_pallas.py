@@ -165,8 +165,8 @@ def mf_sweep_pallas(q: jnp.ndarray, base: jnp.ndarray, wmaps: jnp.ndarray,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K, tile_h, W), lambda r, i: (r, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, K, tile_h, W), lambda r, i: (r, 0, i, 0),
                                memory_space=pltpu.VMEM),
