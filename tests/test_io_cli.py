@@ -172,3 +172,46 @@ def test_resume_matches_uninterrupted(example_tree, rng, tmp_path):
                                rtol=0, atol=0)
     np.testing.assert_array_equal(r_full.labels, r_res.labels)
     np.testing.assert_allclose(r_full.params_vec1, r_res.params_vec1)
+
+
+def test_crash_recovery_sigkill(example_tree, tmp_path):
+    """Fault injection: a fit process is SIGKILLed mid-EM (no cleanup, no
+    exception path); resuming from the surviving checkpoint reproduces the
+    uninterrupted run bit-for-bit. This is the crash-recovery story the
+    reference lacks entirely (a crashed worker deadlocks its queue gather,
+    reference base.py:366)."""
+    import signal
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from phylo_hmrf_tpu.models.hmrf import PhyloHMRF
+    from phylo_hmrf_tpu.tree import build_tree
+    from tests.test_em import synth_problem
+
+    ck = str(tmp_path / "crash_ck.npz")
+    worker = os.path.join(os.path.dirname(__file__), "crash_worker.py")
+    p = subprocess.run([sys.executable, worker, ck, "3"],
+                       capture_output=True, text=True, timeout=600)
+    assert p.returncode == -signal.SIGKILL, (p.returncode, p.stderr[-1500:])
+    assert "UNEXPECTED" not in p.stdout
+    assert os.path.exists(ck) and os.path.exists(ck + ".hist")
+
+    # same problem as the worker builds
+    tree = build_tree([(0, 1), (1, 2), (1, 3), (3, 4), (4, 5), (4, 6),
+                       (3, 7)], branch_lengths=[0, 32, 20, 6, 6, 6, 12])
+    rng = np.random.default_rng(7)
+    _, _, _, regions, _ = synth_problem(tree, rng, K=3, H0=16)
+    kw = dict(final_polish=False, n_states=3, max_iter=8, seed=1,
+              mstep_iters=30, pad_h=8, pad_w=8, min_iter=0, threshold=1e-12)
+
+    resumed = PhyloHMRF(tree, regions, PhyloHMRFConfig(**kw)).fit(
+        verbose=False, checkpoint_path=ck, resume=True)
+    uninterrupted = PhyloHMRF(tree, regions, PhyloHMRFConfig(**kw)).fit(
+        verbose=False)
+
+    np.testing.assert_array_equal(resumed.cost_vec, uninterrupted.cost_vec)
+    np.testing.assert_array_equal(resumed.labels, uninterrupted.labels)
+    np.testing.assert_array_equal(resumed.params_vec,
+                                  uninterrupted.params_vec)
