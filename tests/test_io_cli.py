@@ -215,3 +215,45 @@ def test_crash_recovery_sigkill(example_tree, tmp_path):
     np.testing.assert_array_equal(resumed.labels, uninterrupted.labels)
     np.testing.assert_array_equal(resumed.params_vec,
                                   uninterrupted.params_vec)
+
+
+def test_cli_10kb_resolution(tmp_path, rng):
+    """Non-default --resolution end-to-end: 10kb contact filenames
+    (chrN.10K.txt), binning, cache names (data.10Kb...) and output."""
+    res = 10000
+    n_bins = 30
+    data = tmp_path / "input"
+    data.mkdir()
+    (data / "edge.1.txt").write_text("0\t1\n0\t2\n")
+    (data / "branch_length.1.txt").write_text("1.0\t1.0\n")
+    (data / "species_name.1.txt").write_text("spA\nspB\n")
+    (data / "hg38.chrom.sizes").write_text(f"chr1\t{n_bins * res}\n")
+    paths = []
+    for s in ("spA", "spB"):
+        d = data / f"hic_{s}"
+        d.mkdir()
+        rows = []
+        for i in range(n_bins):
+            for j in range(i, min(i + 8, n_bins)):
+                v = np.exp(-0.3 * (j - i)) * 50 * (1 + rng.random())
+                rows.append(f"{i * res}\t{j * res}\t{v:.4f}")
+        (d / "chr1.10K.txt").write_text("\n".join(rows) + "\n")
+        paths.append(str(d))
+    (data / "path_list.txt").write_text("\n".join(paths) + "\n")
+    (data / "chr1.synteny.txt").write_text(
+        f"{2 * res}\t{28 * res}\t{26 * res}\n")
+
+    out = tmp_path / "out"
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        from phylo_hmrf_tpu.cli import main
+        main(["-n", "3", "-p", str(data), "--chromvec", "1",
+              "--resolution", "10000", "--miter", "2",
+              "--output", str(out), "--seed", "1"])
+    finally:
+        os.chdir(cwd)
+
+    assert (out / "estimate_ou_0_1.00_3.mat").exists()
+    assert (out / "data.10Kb.observed.0.npy").exists()
+    assert (out / "lenvec.10Kb.observed.0.txt").exists()
