@@ -363,9 +363,11 @@ def swap_optimize(unary: jnp.ndarray, wmaps: jnp.ndarray, mask: jnp.ndarray,
 
     batch_pairs=True solves each round-robin round of disjoint pairs as one
     vmapped min-cut batch — fewer dispatches but the straggler pair gates
-    every sweep (vmapped while_loops run to the slowest element), which
-    measured ~3x slower on chr22 than sequential dispatches; it is kept as
-    an option for many-state regimes where dispatch latency dominates."""
+    every sweep (vmapped while_loops run to the slowest element). Measured
+    on real chr22: ~3x slower than sequential at K=5 and 18x slower at K=20
+    (12 s vs 227 s, 4 cycles) — sequential dispatch is asynchronously
+    pipelined, so dispatch latency never dominates in practice. Kept only
+    as a reference implementation."""
     from phylo_hmrf_tpu.ops.potts import potts_energy
 
     energy = jax.jit(functools.partial(potts_energy, beta=beta))
