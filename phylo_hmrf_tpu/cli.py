@@ -59,6 +59,7 @@ def parse_args(argv=None):
                "expansion_tpu", "expansion"])
     a("--final_polish", default="1",
       help="1: polish the final state map with one exact on-device swap")
+    a("--polish_method", default="swap", choices=["swap", "expansion"])
     a("--shard_mode", default="region", choices=["region", "spatial"])
     a("--mask_mode", default="structural", choices=["structural", "observed"])
     a("--seed", default="0")
@@ -100,6 +101,7 @@ def run(opts) -> str:
         diagonal_type=int(opts.dtype),
         labeler=opts.labeler, seed=int(opts.seed),
         final_polish=bool(int(opts.final_polish)),
+        polish_method=opts.polish_method,
         shard_mode=opts.shard_mode, mask_mode=opts.mask_mode,
         run_id=int(opts.run_id), output_path=opts.output,
         annotation=opts.annotation)

@@ -50,7 +50,13 @@ class PhyloHMRFConfig:
                                        #   (exact C++ oracle, CPU)
     use_pallas: str = "auto"           # "auto" (TPU only) | "on" | "off": fused MF Pallas kernel
     final_polish: bool = True          # polish the final state map with one
-                                       # exact on-device swap pass
+                                       # exact on-device graph-cut pass
+    polish_method: str = "swap"        # "swap" (reference-exact semantics) |
+                                       # "expansion" (K dispatches/cycle vs
+                                       # K(K-1)/2; measured on real chr22 at
+                                       # K=20: 1.7x faster AND ~1% lower
+                                       # energy than swap; a swap pass after
+                                       # it improves only 0.003%)
     swap_tpu_cycles: int = 4           # swap cycles per swap_tpu E-step /
                                        # final polish. Budget measured on
                                        # FULL real chr22 (K=5): cycle-1 gap
@@ -114,6 +120,8 @@ class PhyloHMRFConfig:
         if self.labeler not in ("mf_icm", "icm", "swap_tpu", "swap",
                                 "expansion_tpu", "expansion"):
             raise ValueError(f"unknown labeler {self.labeler!r}")
+        if self.polish_method not in ("swap", "expansion"):
+            raise ValueError(f"unknown polish_method {self.polish_method!r}")
 
     @property
     def lambda_0(self) -> float:

@@ -790,12 +790,13 @@ class PhyloHMRF:
 
         if cfg.final_polish and cfg.labeler not in (
                 "swap", "swap_tpu", "expansion", "expansion_tpu"):
-            # one exact on-device swap pass over the best-iteration labels
-            # under the restored best-iteration moments
+            # one exact on-device graph-cut pass over the best-iteration
+            # labels under the restored best-iteration moments
             with self.timer.phase("final_polish"):
                 t_label_grids = self._exact_labels_all(
                     jnp.asarray(self.means_, jnp.float32),
-                    jnp.asarray(self.covars_, jnp.float32), t_label_grids)
+                    jnp.asarray(self.covars_, jnp.float32), t_label_grids,
+                    method=cfg.polish_method)
 
         labels_flat = np.concatenate([
             self.regions[i].labels_to_flat(t_label_grids[i])

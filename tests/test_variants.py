@@ -94,3 +94,36 @@ def test_expansion_labeler_em(example_tree, rng, labeler):
     result = model.fit(verbose=False)
     assert np.isfinite(result.cost_vec).all()
     assert result.labels.shape[0] == model.n_samples
+
+
+def test_polish_method_expansion(example_tree, rng):
+    """final_polish with polish_method='expansion' runs end-to-end and the
+    polished map's energy is <= the unpolished map's (move-making passes
+    never increase the energy)."""
+    import jax.numpy as jnp
+    from phylo_hmrf_tpu.models.emission import gaussian_logpdf
+    from phylo_hmrf_tpu.ops.potts import potts_energy, weight_maps
+
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=12)
+    kw = dict(n_states=3, max_iter=2, seed=1, mstep_iters=20, pad_h=4,
+              pad_w=4, min_iter=0, threshold=1e-12)
+    r_pol = PhyloHMRF(example_tree, regions, PhyloHMRFConfig(
+        final_polish=True, polish_method="expansion", **kw)).fit(
+        verbose=False)
+    model = PhyloHMRF(example_tree, regions, PhyloHMRFConfig(
+        final_polish=False, **kw))
+    r_raw = model.fit(verbose=False)
+
+    r = regions[0]
+    unary = -gaussian_logpdf(jnp.asarray(r.img),
+                             jnp.asarray(r_raw.means, jnp.float32),
+                             jnp.asarray(r_raw.covars, jnp.float32))
+    wm = weight_maps(jnp.asarray(r.dmaps), model.cfg.beta1)
+    mask = jnp.asarray(r.mask)
+    e_pol = float(potts_energy(
+        jnp.asarray(r.labels_to_grid(r_pol.labels[:r.n_samples])), unary,
+        wm, mask, model.cfg.beta))
+    e_raw = float(potts_energy(
+        jnp.asarray(r.labels_to_grid(r_raw.labels[:r.n_samples])), unary,
+        wm, mask, model.cfg.beta))
+    assert e_pol <= e_raw + 1e-5, (e_pol, e_raw)
