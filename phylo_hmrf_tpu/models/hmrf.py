@@ -860,6 +860,33 @@ class PhyloHMRF:
             self.regions[i].labels_to_flat(label_grids[i])
             for i in range(len(self.regions))])
 
+    def score_samples(self, labels_flat: np.ndarray | None = None):
+        """(total log probability, per-sample posteriors).
+
+        The reference declares this API but leaves it an empty stub
+        (base.py:119-123, hmmlearn heritage). Here: posteriors are the
+        MRF mean-field posteriors (predict_proba); the score is the
+        emission log-evidence sum_n logsumexp_k logprob(n, k) with a
+        uniform state prior — the quantity the stub's docstring promises
+        ("log probability under the model").
+        """
+        from scipy.special import logsumexp
+
+        if self.means_ is None:
+            raise RuntimeError("model not initialized/fit")
+        posteriors = self.predict_proba(labels_flat)
+        means_j = jnp.asarray(self.means_, jnp.float32)
+        covars_j = jnp.asarray(self.covars_, jnp.float32)
+        total = 0.0
+        for i, r in enumerate(self.regions):
+            logprob = -np.asarray(
+                _UNARY_JIT(jnp.asarray(r.img), means_j, covars_j))
+            lse = logsumexp(
+                logprob[r.flat_rows, r.flat_cols].astype(np.float64),
+                axis=-1)
+            total += float(lse.sum()) - lse.shape[0] * np.log(self.n_states)
+        return total, posteriors
+
     def predict_proba(self, labels_flat: np.ndarray | None = None
                       ) -> np.ndarray:
         """Per-sample state posteriors (N, K) under the current parameters

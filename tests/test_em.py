@@ -134,3 +134,22 @@ def test_predict_proba(example_tree, rng):
     np.testing.assert_allclose(proba.sum(1), 1.0, rtol=1e-5)
     # posteriors should mostly agree with the MAP labels
     assert (proba.argmax(1) == result.labels).mean() > 0.7
+
+
+def test_score_samples(example_tree, rng):
+    """score_samples: (emission log-evidence, mean-field posteriors); the
+    reference's base-class API is an empty stub (base.py:119)."""
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
+    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=2, seed=1,
+                          mstep_iters=20, pad_h=8, pad_w=8, min_iter=0,
+                          threshold=1e-12)
+    model = PhyloHMRF(example_tree, regions, cfg)
+    model.fit(verbose=False)
+    score, post = model.score_samples()
+    assert np.isfinite(score)
+    assert post.shape == (model.n_samples, 3)
+    np.testing.assert_allclose(post.sum(axis=1), 1.0, rtol=1e-5)
+    # a better-fit model scores higher than a far-off one
+    model.means_ = model.means_ + 50.0
+    score_bad, _ = model.score_samples()
+    assert score_bad < score
