@@ -120,6 +120,67 @@ def _safe_logdet(V: jnp.ndarray) -> jnp.ndarray:
     return jnp.log(det + SMALL_EPS)
 
 
+def _chol_unrolled(V: jnp.ndarray):
+    """Cholesky factor of a tiny static-F SPD matrix as straight-line code.
+
+    F is single-digit (number of species), so the F(F+1)/2 scalar updates
+    unroll into fully fusable elementwise ops — unlike `jnp.linalg.cholesky`
+    / `slogdet` / `solve`, which each lower to an unfusable LAPACK-style
+    kernel whose dispatch latency dominates the vmapped M-step objective
+    (measured ~2x of the whole L-BFGS iteration at F=4). Returns the list
+    of lists lower-triangular entries L[i][j] (i >= j)."""
+    F = V.shape[0]
+    L = [[None] * F for _ in range(F)]
+    for j in range(F):
+        s = V[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(s)
+        for i in range(j + 1, F):
+            t = V[i, j]
+            for k in range(j):
+                t = t - L[i][k] * L[j][k]
+            L[i][j] = t / L[j][j]
+    return L
+
+
+def _logdet_trace_solve(V: jnp.ndarray, Sn: jnp.ndarray):
+    """(log(det V + small_eps), tr(V^{-1} Sn)) via one unrolled Cholesky.
+
+    Exact same values as `_safe_logdet` + `jnp.linalg.solve` on the SPD
+    domain (the box-constrained optimizer path keeps V SPD by construction,
+    see `_regularize`); a non-PD excursion yields NaN, which the L-BFGS
+    line search rejects — matching the reference's retry-on-invalid policy
+    (`phylo_hmrf.py:1108-1133`)."""
+    F = V.shape[0]
+    L = _chol_unrolled(V)
+    det = (L[0][0] * L[0][0])
+    for j in range(1, F):
+        det = det * (L[j][j] * L[j][j])
+    logdet = jnp.log(det + SMALL_EPS)
+    # tr(V^{-1} Sn) = sum(W * W') with W = L^{-1} Sn^{1/2}... simpler:
+    # forward-substitute Y = L^{-1} Sn (rows sequential, columns vectorized),
+    # then tr(V^{-1} Sn) = tr(L^{-T} Y) = sum_ij (L^{-1})_ij * Y_ji; do the
+    # second substitution explicitly on Y^T columns.
+    Y = [None] * F                      # Y[i]: (F,) row of L^{-1} Sn
+    for i in range(F):
+        t = Sn[i]
+        for k in range(i):
+            t = t - L[i][k] * Y[k]
+        Y[i] = t / L[i][i]
+    # back-substitute Z = L^{-T} Y; only diag(Z) is needed for the trace,
+    # but each Z row depends on later rows, so compute rows F-1..0.
+    Z = [None] * F
+    trace = jnp.zeros((), V.dtype)
+    for i in range(F - 1, -1, -1):
+        t = Y[i]
+        for k in range(i + 1, F):
+            t = t - L[k][i] * Z[k]
+        Z[i] = t / L[i][i]
+        trace = trace + Z[i][i]
+    return logdet, trace
+
+
 def ou_nll_stats(params: jnp.ndarray, post_c: jnp.ndarray, obs_c: jnp.ndarray,
                  obs2_c: jnp.ndarray, tree: PhyloTree, n_samples: float,
                  lambda_0: float, min_covar: float) -> jnp.ndarray:
@@ -140,9 +201,9 @@ def ou_nll_stats(params: jnp.ndarray, post_c: jnp.ndarray, obs_c: jnp.ndarray,
     obsmean = jnp.outer(obs_c, m)
     Sn = obs2_c - obsmean - obsmean.T + post_c * jnp.outer(m, m)
 
-    trace_term = jnp.trace(jnp.linalg.solve(V, Sn))
+    logdet, trace_term = _logdet_trace_solve(V, Sn)
     lam1 = 1.0 / jnp.sqrt(jnp.asarray(n_samples, params.dtype))
-    return (post_c * _safe_logdet(V) / n_samples
+    return (post_c * logdet / n_samples
             + trace_term / n_samples
             + lambda_0 * lam1 * jnp.dot(params, params))
 
@@ -162,7 +223,8 @@ def ou_nll_init(params: jnp.ndarray, xbar: jnp.ndarray, xxT: jnp.ndarray,
     V = _regularize(V)
     obsmean = jnp.outer(xbar, m)
     Sn = xxT - obsmean - obsmean.T + jnp.outer(m, m)
-    return _safe_logdet(V) + jnp.trace(jnp.linalg.solve(V, Sn))
+    logdet, trace_term = _logdet_trace_solve(V, Sn)
+    return logdet + trace_term
 
 
 def check_params(params: np.ndarray, n_nodes: int,
