@@ -91,7 +91,7 @@ def build_problem():
         Lc = np.linalg.cholesky(covs[c] * 0.5)
         x[sel] = means[c] + rng.standard_normal((sel.sum(), F)) @ Lc.T
     x = np.abs(x).astype(np.float32) + 0.05
-    region = region_from_samples(x, H0, H0, True, pad_h=8, pad_w=128)
+    region = region_from_samples(x, H0, H0, True, pad_h=32, pad_w=128)
     warm = lab_flat.copy()
     flip = rng.random(warm.shape[0]) < 0.15
     warm[flip] = rng.integers(0, K, flip.sum())

@@ -99,7 +99,10 @@ class PhyloHMRFConfig:
     mstep_retries: int = 10            # retry budget on NaN/out-of-bounds params (parity)
     param_lo: float = 1e-16            # SLSQP-equivalent box (reference `phylo_hmrf.py:1365`)
     param_hi: float = 100.0
-    pad_h: int = 8                     # grid padding multiples (f32 sublane x lane tiling)
+    pad_h: int = 32                    # grid padding multiples; 32 lets the
+                                       # fused MF/ICM kernels tile at >=32
+                                       # rows (8 = f32 sublane minimum, but
+                                       # small row tiles double halo traffic)
     pad_w: int = 128
 
     # ---- parallelism ----
