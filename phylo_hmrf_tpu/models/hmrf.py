@@ -124,6 +124,12 @@ def _estep_bucket(img, mask, dmaps, warm, means, covars, beta, beta1, *,
         mf_labels = warm   # unused placeholder with the right shape
         labels_pre = None
 
+    if labels_pre is not None:
+        # fully fused tail: posteriors/costs/stats reduce in one Pallas pass
+        stats, cost_vec, n_valid = _finish_fused(
+            logprob, img, mask, dmaps, labels_pre, beta, beta1, weighted_pp)
+        return labels_pre, stats, cost_vec, n_valid
+
     def one(unary_r, wcut_r, dmaps_r, mask_r, warm_r, mf_r, logprob_r,
             img_r, labels_r):
         if labels_pre is not None:
@@ -152,10 +158,37 @@ def _estep_bucket(img, mask, dmaps, warm, means, covars, beta, beta1, *,
             n_valid)
 
 
+def _finish_fused(logprob, img, mask, dmaps, labels, beta, beta1,
+                  weighted_pp: bool):
+    """Pallas fused posterior/cost/stats reduction (ops/finish_pallas.py);
+    returns ((post, obs, obs2) summed over the bucket, cost_vec (R,4),
+    n_valid (R,)) with `posteriors_and_costs` cost semantics."""
+    from phylo_hmrf_tpu.ops.finish_pallas import finish_stats_pallas
+
+    w_pp = weight_maps(dmaps, beta1) if weighted_pp else valid_maps(dmaps)
+    lp_k = jnp.transpose(logprob, (0, 3, 1, 2))
+    img_f = jnp.transpose(img, (0, 3, 1, 2))
+    post, obs, obs2, sums = finish_stats_pallas(
+        lp_k, img_f, mask.astype(jnp.int32), labels.astype(jnp.int32),
+        w_pp, beta, SMALL_EPS)
+    n_valid = sums[:, 3]
+    nv = jnp.maximum(n_valid, 1.0)
+    pairwise_cost = sums[:, 0] / nv
+    pairwise_nrm = -sums[:, 1] / nv
+    unary_cost = -sums[:, 2] / nv
+    cost_vec = jnp.stack(
+        [pairwise_cost, pairwise_nrm, unary_cost,
+         unary_cost + pairwise_nrm], axis=-1)
+    return (post.sum(0), obs.sum(0), obs2.sum(0)), cost_vec, n_valid
+
+
 def _finish_bucket(img, mask, dmaps, labels, means, covars, beta, beta1, *,
-                   weighted_pp: bool):
+                   weighted_pp: bool, use_pallas: bool = False):
     """Posterior/stats pass for externally supplied labels (swap backend)."""
     logprob = gaussian_logpdf(img, means, covars)
+    if use_pallas:
+        return _finish_fused(logprob, img, mask, dmaps, labels, beta, beta1,
+                             weighted_pp)
 
     def one(dmaps_r, mask_r, labels_r, logprob_r, img_r):
         w_cut = weight_maps(dmaps_r, beta1)
@@ -180,7 +213,7 @@ def _finish_bucket(img, mask, dmaps, labels, means, covars, beta, beta1, *,
 
 _ESTEP_JIT = jax.jit(_estep_bucket, static_argnames=(
     "weighted_pp", "labeler", "max_sweeps", "use_pallas"))
-_FINISH_JIT = jax.jit(_finish_bucket, static_argnames=("weighted_pp",))
+_FINISH_JIT = jax.jit(_finish_bucket, static_argnames=("weighted_pp", "use_pallas"))
 _UNARY_JIT = jax.jit(lambda img, means, covars: -gaussian_logpdf(
     img, means, covars))
 
@@ -457,7 +490,8 @@ class PhyloHMRF:
                 (p, o, o2), cv, nv = _FINISH_JIT(
                     img, mask, dmaps, jnp.asarray(labels_np), means_j,
                     covars_j, self._beta, self._beta1,
-                    weighted_pp=(cfg.estimate_type == 3))
+                    weighted_pp=(cfg.estimate_type == 3),
+                    use_pallas=self._use_pallas)
                 post += np.asarray(p, np.float64)
                 obs += np.asarray(o, np.float64)
                 obs2 += np.asarray(o2, np.float64)
@@ -492,7 +526,8 @@ class PhyloHMRF:
                 (p, o, o2), cv, nv = _FINISH_JIT(
                     img, mask, dmaps, labels_j, means_j, covars_j,
                     self._beta, self._beta1,
-                    weighted_pp=(cfg.estimate_type == 3))
+                    weighted_pp=(cfg.estimate_type == 3),
+                    use_pallas=self._use_pallas)
                 out_labels = labels
             elif self._n_shards > 1:
                 labels_j, (p, o, o2), cv, nv = self._sharded_estep(
