@@ -341,7 +341,8 @@ def bench_phases_real(tree, region, means, covs, warm, iters):
         mf_fn = jax.jit(jax.vmap(lambda u, w: mean_field(u, w, 1.0)))
         icm_fn = jax.jit(jax.vmap(
             lambda u, w, m, l: icm(u, w, m, l, 1.0, 60)))
-    finish = jax.jit(functools.partial(_finish_bucket, weighted_pp=False))
+    finish = jax.jit(functools.partial(_finish_bucket, weighted_pp=False,
+                                       use_pallas=on_tpu))
 
     mf_labels = mf_fn(unary, wm)
     icm_labels = icm_fn(unary, wm, mask, mf_labels)

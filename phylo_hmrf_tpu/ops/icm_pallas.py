@@ -89,6 +89,7 @@ def _icm_sweeppair_kernel(scalars_ref, unp_ref, maskp_ref, labp_ref, wp_ref,
     r = pl.program_id(0)
     i = pl.program_id(1)
     beta = scalars_ref[0, 0]
+    row_offset = scalars_ref[1, 0].astype(jnp.int32)
 
     row0 = i * tile_h
     slab_rows = pl.ds(row0, tile_h + 2 * _HALO)
@@ -119,7 +120,7 @@ def _icm_sweeppair_kernel(scalars_ref, unp_ref, maskp_ref, labp_ref, wp_ref,
     valid = mask_scratch[:] != 0
     ks = jax.lax.broadcasted_iota(jnp.int32, (K, S, W), 0)
     rows = (jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)
-            + row0 - _HALO)
+            + row0 - _HALO + row_offset)
     cols = jax.lax.broadcasted_iota(jnp.int32, (S, W), 1)
     # shifted weights are constant across phases
     w_sh = [_shift_rows(_shift_cols(w[d], -dc), -dr)
@@ -184,22 +185,27 @@ def icm_sweep_pair_pallas(labels, unary_k, wmaps, mask, beta, *,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _icm_sweep_pair_padded(labp, unp, wp, maskp, beta, *,
-                           interpret: bool = False):
+                           interpret: bool = False, row_offset=0):
     """Sweep-pair call on pre-padded inputs (labp/maskp (R, H+2*_HALO, W),
     unp (R, K, H+2*_HALO, W), wp (R, 4, H+2*_HALO, W)); the loop-invariant
     unary/weight/mask pads hoist out of the ICM while_loop this way (the
-    unary re-pad alone was ~2x the kernel's own HBM traffic)."""
+    unary re-pad alone was ~2x the kernel's own HBM traffic). The _HALO
+    rows may instead carry a row-sharded shard's ppermute-exchanged halo
+    (parallel/halo.py) — then ``row_offset`` (the shard's global first row)
+    keeps the checkerboard parity globally consistent, and the wedge
+    argument makes one 8-row exchange per 8 phases exact."""
     R, K, H2, W = unp.shape
     H = H2 - 2 * _HALO
     tile_h = _pick_tile_h_icm_pair(H, K, W)
-    scalars = jnp.asarray([[beta]], unp.dtype)
+    scalars = jnp.stack([jnp.asarray(beta, unp.dtype),
+                         jnp.asarray(row_offset, unp.dtype)])
 
     slab = tile_h + 2 * _HALO
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(R, H // tile_h),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda r, i: (0, 0),
+            pl.BlockSpec((2, 1), lambda r, i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -227,7 +233,7 @@ def _icm_sweep_pair_padded(labp, unp, wp, maskp, beta, *,
         out_shape=jax.ShapeDtypeStruct((R, H, W), jnp.int32),
         interpret=interpret,
         **kwargs,
-    )(scalars, unp, maskp, labp, wp)
+    )(scalars.reshape(2, 1), unp, maskp, labp, wp)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "halo_extended"))

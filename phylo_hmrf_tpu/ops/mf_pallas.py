@@ -215,26 +215,43 @@ def _pick_tile_h_multi(H: int, K: int, W: int,
     return 8
 
 
-@functools.partial(jax.jit, static_argnames=("n_inner", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_inner", "interpret",
+                                             "pre_extended"))
 def mf_sweeps_pallas(q: jnp.ndarray, base: jnp.ndarray, wmaps: jnp.ndarray,
                      T, damp, beta, *, n_inner: int,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     pre_extended: bool = False) -> jnp.ndarray:
     """``n_inner`` (<= _HALO) mean-field sweeps at one temperature in a
     single temporally-blocked kernel — exact same result as ``n_inner``
     chained `mf_sweep_pallas` calls, ~n_inner-fold less HBM traffic.
 
-    q, base: (R, K, H, W); wmaps: (R, 4, H, W); also accepts unbatched."""
+    q, base: (R, K, H, W); wmaps: (R, 4, H, W); also accepts unbatched.
+
+    With ``pre_extended``, all inputs already carry _HALO (8) extra rows on
+    each side — a row-sharded shard's ppermute-exchanged halo
+    (parallel/halo.py) — instead of the kernel zero-padding them. The
+    exchanged rows evolve in-kernel exactly as the neighboring shard
+    computes them (their update stencils are fully contained in the slab
+    for the first d sweeps at depth d — the same shrinking wedge as the
+    intra-tile halo), so one 8-row exchange per 8 sweeps is exact.
+    Returns center rows only."""
     if not 1 <= n_inner <= _HALO:
         raise ValueError(f"n_inner must be in [1, {_HALO}], got {n_inner}")
     squeeze = q.ndim == 3
     if squeeze:
         q, base, wmaps = q[None], base[None], wmaps[None]
-    R, K, H, W = q.shape
-    pad = [(0, 0), (0, 0), (_HALO, _HALO), (0, 0)]
-    tile_h = _pick_tile_h_multi(H, K, W)
-    qp = jnp.pad(q, pad)
-    wp = jnp.pad(wmaps, pad)
-    bp = jnp.pad(base, pad)
+    if pre_extended:
+        R, K, H2, W = q.shape
+        H = H2 - 2 * _HALO
+        tile_h = _pick_tile_h_multi(H, K, W)
+        qp, wp, bp = q, wmaps, base
+    else:
+        R, K, H, W = q.shape
+        pad = [(0, 0), (0, 0), (_HALO, _HALO), (0, 0)]
+        tile_h = _pick_tile_h_multi(H, K, W)
+        qp = jnp.pad(q, pad)
+        wp = jnp.pad(wmaps, pad)
+        bp = jnp.pad(base, pad)
     scalars = jnp.stack([jnp.asarray(T, q.dtype),
                          jnp.asarray(damp, q.dtype),
                          jnp.asarray(beta, q.dtype)])
