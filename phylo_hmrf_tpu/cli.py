@@ -55,7 +55,7 @@ def parse_args(argv=None):
     a("--output", default=".")
     # TPU-native extensions
     a("--labeler", default="mf_icm",
-      choices=["mf_icm", "icm", "swap_tpu", "swap",
+      choices=["mf_icm", "icm", "lbp", "swap_tpu", "swap",
                "expansion_tpu", "expansion"])
     a("--final_polish", default="1",
       help="1: polish the final state map with one exact on-device swap")

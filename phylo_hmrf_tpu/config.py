@@ -42,8 +42,8 @@ class PhyloHMRFConfig:
     best_from_iter: int = 3            # best-tracked params/labels only recorded from this iter on
 
     # ---- E-step label optimizer ----
-    labeler: str = "mf_icm"            # "mf_icm" | "icm" (fast TPU local opt)
-                                       # | "swap_tpu" / "expansion_tpu"
+    labeler: str = "mf_icm"            # "mf_icm" | "icm" | "lbp" (fast TPU
+                                       # local opt) | "swap_tpu" / "expansion_tpu"
                                        #   (exact graph-cut moves on device
                                        #   via parallel push-relabel)
                                        # | "swap" / "expansion"
@@ -120,7 +120,7 @@ class PhyloHMRFConfig:
         if self.num_neighbor not in (4, 8):
             raise ValueError("num_neighbor must be 4 or 8 "
                              f"(got {self.num_neighbor})")
-        if self.labeler not in ("mf_icm", "icm", "swap_tpu", "swap",
+        if self.labeler not in ("mf_icm", "icm", "lbp", "swap_tpu", "swap",
                                 "expansion_tpu", "expansion"):
             raise ValueError(f"unknown labeler {self.labeler!r}")
         if self.polish_method not in ("swap", "expansion"):

@@ -131,6 +131,17 @@ def label_optimize(unary: jnp.ndarray, wmaps: jnp.ndarray, mask: jnp.ndarray,
     if method == "icm":
         return icm(unary, wmaps, mask, init_labels, beta, max_sweeps,
                    beta_ramp)
+    if method == "lbp":
+        # min-sum loopy BP proposal, then ICM-polish it and the warm start
+        # (the reference v1 stubbed LBP, phylo_hmrf_v1/base.py:458; this is
+        # the real message-passing labeler)
+        from phylo_hmrf_tpu.ops.lbp import lbp_labels
+        prop = lbp_labels(unary, wmaps, mask, beta)
+        cand_a, e_a = icm_with_energy(unary, wmaps, mask, prop, beta,
+                                      max_sweeps)
+        cand_b, e_b = icm_with_energy(unary, wmaps, mask, init_labels, beta,
+                                      max_sweeps)
+        return jnp.where(e_a <= e_b, cand_a, cand_b)
     if method != "mf_icm":
         raise ValueError(f"unknown label method {method!r}")
     mf_labels = mean_field(unary, wmaps, beta)

@@ -127,3 +127,16 @@ def test_polish_method_expansion(example_tree, rng):
         jnp.asarray(r.labels_to_grid(r_raw.labels[:r.n_samples])), unary,
         wm, mask, model.cfg.beta))
     assert e_pol <= e_raw + 1e-5, (e_pol, e_raw)
+
+
+def test_lbp_labeler_em(example_tree, rng):
+    """End-to-end EM with the loopy-BP labeler (labeler='lbp' — the
+    reference v1's unimplemented LBP stub, phylo_hmrf_v1/base.py:458)."""
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=12)
+    cfg = PhyloHMRFConfig(n_states=3, max_iter=2, seed=1, mstep_iters=20,
+                          pad_h=4, pad_w=4, min_iter=0, threshold=1e-12,
+                          labeler="lbp", final_polish=False)
+    model = PhyloHMRF(example_tree, regions, cfg)
+    result = model.fit(verbose=False)
+    assert np.isfinite(result.cost_vec).all()
+    assert result.labels.shape[0] == model.n_samples
