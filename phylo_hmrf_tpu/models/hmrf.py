@@ -102,19 +102,21 @@ def _estep_bucket(img, mask, dmaps, warm, means, covars, beta, beta1, *,
     w_cut = weight_maps(dmaps, beta1)                    # elementwise: ok batched
 
     if labeler == "mf_icm" and use_pallas:
-        # fully batched Pallas path: fused-MF proposal + phase-kernel ICM for
-        # both starts; the lower-energy candidate wins per region
+        # fully batched Pallas path: fused-MF proposal + sweep-pair ICM for
+        # both starts (separate calls: each convergence while_loop exits on
+        # its own — the warm start usually converges in one pair mid-EM);
+        # selection energies come from the fused reduction kernel
+        from phylo_hmrf_tpu.ops.finish_pallas import potts_energy_pallas
         from phylo_hmrf_tpu.ops.icm_pallas import icm_pallas
         from phylo_hmrf_tpu.ops.mf_pallas import mean_field_pallas
-        from phylo_hmrf_tpu.ops.potts import potts_energy
 
         mf_labels = mean_field_pallas(unary, w_cut, beta)
         cand_a = icm_pallas(unary, w_cut, mask, mf_labels, beta, max_sweeps)
         cand_b = icm_pallas(unary, w_cut, mask, warm, beta, max_sweeps)
-        e_a = jax.vmap(lambda l, u, w, m: potts_energy(l, u, w, m, beta))(
-            cand_a, unary, w_cut, mask)
-        e_b = jax.vmap(lambda l, u, w, m: potts_energy(l, u, w, m, beta))(
-            cand_b, unary, w_cut, mask)
+        unary_k = jnp.transpose(unary, (0, 3, 1, 2))
+        mask_i = mask.astype(jnp.int32)
+        e_a = potts_energy_pallas(unary_k, mask_i, cand_a, w_cut, beta)
+        e_b = potts_energy_pallas(unary_k, mask_i, cand_b, w_cut, beta)
         labels_pre = jnp.where((e_a <= e_b)[:, None, None], cand_a, cand_b)
     elif labeler == "mf_icm":
         mf_labels = jax.vmap(lambda u, w: mean_field(u, w, beta))(
@@ -127,7 +129,7 @@ def _estep_bucket(img, mask, dmaps, warm, means, covars, beta, beta1, *,
     if labels_pre is not None:
         # fully fused tail: posteriors/costs/stats reduce in one Pallas pass
         stats, cost_vec, n_valid = _finish_fused(
-            logprob, img, mask, dmaps, labels_pre, beta, beta1, weighted_pp)
+            -unary_k, img, mask, dmaps, labels_pre, beta, beta1, weighted_pp)
         return labels_pre, stats, cost_vec, n_valid
 
     def one(unary_r, wcut_r, dmaps_r, mask_r, warm_r, mf_r, logprob_r,
@@ -158,15 +160,15 @@ def _estep_bucket(img, mask, dmaps, warm, means, covars, beta, beta1, *,
             n_valid)
 
 
-def _finish_fused(logprob, img, mask, dmaps, labels, beta, beta1,
+def _finish_fused(lp_k, img, mask, dmaps, labels, beta, beta1,
                   weighted_pp: bool):
     """Pallas fused posterior/cost/stats reduction (ops/finish_pallas.py);
-    returns ((post, obs, obs2) summed over the bucket, cost_vec (R,4),
-    n_valid (R,)) with `posteriors_and_costs` cost semantics."""
+    lp_k is the K-major (R, K, H, W) log-density field. Returns ((post,
+    obs, obs2) summed over the bucket, cost_vec (R,4), n_valid (R,)) with
+    `posteriors_and_costs` cost semantics."""
     from phylo_hmrf_tpu.ops.finish_pallas import finish_stats_pallas
 
     w_pp = weight_maps(dmaps, beta1) if weighted_pp else valid_maps(dmaps)
-    lp_k = jnp.transpose(logprob, (0, 3, 1, 2))
     img_f = jnp.transpose(img, (0, 3, 1, 2))
     post, obs, obs2, sums = finish_stats_pallas(
         lp_k, img_f, mask.astype(jnp.int32), labels.astype(jnp.int32),
@@ -187,8 +189,8 @@ def _finish_bucket(img, mask, dmaps, labels, means, covars, beta, beta1, *,
     """Posterior/stats pass for externally supplied labels (swap backend)."""
     logprob = gaussian_logpdf(img, means, covars)
     if use_pallas:
-        return _finish_fused(logprob, img, mask, dmaps, labels, beta, beta1,
-                             weighted_pp)
+        return _finish_fused(jnp.transpose(logprob, (0, 3, 1, 2)), img,
+                             mask, dmaps, labels, beta, beta1, weighted_pp)
 
     def one(dmaps_r, mask_r, labels_r, logprob_r, img_r):
         w_cut = weight_maps(dmaps_r, beta1)

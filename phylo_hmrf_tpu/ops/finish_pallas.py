@@ -144,6 +144,111 @@ def _finish_kernel(scalars_ref, lp_ref, img_ref, mask_ref, labp_ref, wp_ref,
         sums_ref[rr, :] += sums_t[None]
 
 
+def _energy_kernel(scalars_ref, un_ref, mask_ref, labp_ref, wp_ref,
+                   out_ref, lab_scratch, w_scratch, sem, *, tile_h: int):
+    """Per-region MRF energy sums (`ops/potts.py::potts_energy` semantics):
+    e = sum_p(valid) unary[p, s_p] + beta * sum_d sum_p w_d[p] [s_p != s_nb].
+    Forward edges only — each edge counted once at its source pixel; w = 0
+    on every edge leaving the grid or touching an invalid pixel."""
+    r = pl.program_id(0)
+    i = pl.program_id(1)
+    beta = scalars_ref[0, 0]
+
+    row0 = i * tile_h
+    slab_rows = pl.ds(row0, tile_h + 2 * _HALO)
+    cp_l = pltpu.make_async_copy(labp_ref.at[r, slab_rows, :], lab_scratch,
+                                 sem.at[0])
+    cp_w = pltpu.make_async_copy(wp_ref.at[r, :, slab_rows, :], w_scratch,
+                                 sem.at[1])
+    cp_l.start()
+    cp_w.start()
+    cp_l.wait()
+    cp_w.wait()
+
+    lab = lab_scratch[:]
+    w = w_scratch[:]
+    unary = un_ref[0]          # (K, TH, W)
+    valid = mask_ref[0] != 0
+    K = unary.shape[0]
+    W = lab.shape[1]
+    c = _HALO
+    lab_center = lab[c:c + tile_h, :]
+
+    ks = jax.lax.broadcasted_iota(jnp.int32, (K, tile_h, W), 0)
+    u_at = jnp.sum(unary * (lab_center[None] == ks).astype(unary.dtype),
+                   axis=0)
+    e_u = jnp.sum(jnp.where(valid, u_at, 0.0))
+    e_p = jnp.zeros((), unary.dtype)
+    for d, (dr, dc) in enumerate(DIRS):
+        nb = _shift_rows(_shift_cols(lab[None], dc)[0],
+                         dr)[c:c + tile_h, :]
+        diff = (lab_center != nb).astype(unary.dtype)
+        e_p += jnp.sum(w[d, c:c + tile_h, :] * diff)
+    tot = jnp.stack([e_u + beta * e_p, 0.0, 0.0, 0.0,
+                     0.0, 0.0, 0.0, 0.0])
+
+    rr = pl.ds(r, 1)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[rr, :] = tot[None]
+
+    @pl.when(i != 0)
+    def _acc():
+        out_ref[rr, :] += tot[None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def potts_energy_pallas(unary_k: jnp.ndarray, mask: jnp.ndarray,
+                        labels: jnp.ndarray, wmaps: jnp.ndarray, beta, *,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Per-region total MRF energy, fused reduction. unary_k (R, K, H, W);
+    mask (R, H, W) int32; labels (R, H, W) int32; wmaps (R, 4, H, W).
+    Returns (R,) energies matching `potts_energy` to reduction order."""
+    R, K, H, W = unary_k.shape
+    F = 1
+    tile_h = _pick_tile_h_finish(H, K, F, W)
+    labp = jnp.pad(labels, [(0, 0), (_HALO, _HALO), (0, 0)])
+    wp = jnp.pad(wmaps, [(0, 0), (0, 0), (_HALO, _HALO), (0, 0)])
+    scalars = jnp.asarray([[beta]], unary_k.dtype)
+
+    slab = tile_h + 2 * _HALO
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(R, H // tile_h),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda r, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, tile_h, W), lambda r, i: (r, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_h, W), lambda r, i: (r, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((R, 8), lambda r, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((slab, W), jnp.int32),
+            pltpu.VMEM((4, slab, W), unary_k.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_energy_kernel, tile_h=tile_h)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, 8), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(scalars, unary_k, mask, labp, wp)
+    return out[:, 0]
+
+
 def _vmem_use_finish(th: int, K: int, F: int, W: int) -> int:
     slab = th + 2 * _HALO
     return 4 * ((2 + 4) * K * th * W        # logprob block + pp/g/ppn temps

@@ -96,3 +96,21 @@ def test_finish_fused_multi_tile_and_batch(rng):
                -float(sums[r, 2]) / nv]
         np.testing.assert_allclose(got, np.asarray(cv_r)[:3], rtol=2e-5,
                                    atol=2e-6)
+
+
+def test_potts_energy_pallas_matches_jnp(rng):
+    from phylo_hmrf_tpu.ops.finish_pallas import potts_energy_pallas
+    from phylo_hmrf_tpu.ops.potts import potts_energy
+
+    K, beta = 5, 1.3
+    region, logprob, labels, wm = _problem(rng, 40, 40, K, 3)
+    unary = -logprob
+    e_ref = float(potts_energy(jnp.asarray(labels), jnp.asarray(unary),
+                               jnp.asarray(wm), jnp.asarray(region.mask),
+                               beta))
+    unary_k = jnp.transpose(jnp.asarray(unary[None]), (0, 3, 1, 2))
+    e = potts_energy_pallas(unary_k,
+                            jnp.asarray(region.mask[None].astype(np.int32)),
+                            jnp.asarray(labels[None]), jnp.asarray(wm[None]),
+                            beta, interpret=True)
+    np.testing.assert_allclose(float(e[0]), e_ref, rtol=2e-6)
