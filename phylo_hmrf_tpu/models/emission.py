@@ -49,3 +49,23 @@ def gaussian_logpdf(X: jnp.ndarray, means: jnp.ndarray,
     diff = y - y_mu
     quad = jnp.sum(diff * diff, axis=-1)
     return -0.5 * (F * _LOG_2PI + logdet + quad)
+
+
+def gaussian_logpdf_kmajor(X: jnp.ndarray, means: jnp.ndarray,
+                           covars: jnp.ndarray) -> jnp.ndarray:
+    """`gaussian_logpdf` emitting the state-major layout (R, K, H, W).
+
+    The Pallas E-step kernels all consume K-major fields; a separate
+    (R, H, W, K) -> (R, K, H, W) transpose costs ~1.8 ms at chr21 scale
+    (strided layout change), so the einsum emits K-major directly."""
+    F = X.shape[-1]
+    Linv, logdet = _chol_inv_and_logdet(covars)
+    y = jnp.einsum("rhwf,kgf->rkhwg", X, Linv,
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=X.dtype)
+    y_mu = jnp.einsum("kf,kgf->kg", means, Linv,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=X.dtype)
+    diff = y - y_mu[None, :, None, None, :]
+    quad = jnp.sum(diff * diff, axis=-1)
+    return -0.5 * (F * _LOG_2PI + logdet[None, :, None, None] + quad)

@@ -97,46 +97,46 @@ def _estep_bucket(img, mask, dmaps, warm, means, covars, beta, beta1, *,
     """
     from phylo_hmrf_tpu.ops.icm import icm_with_energy, mean_field
 
-    logprob = gaussian_logpdf(img, means, covars)        # (R,H,W,K)
-    unary = -logprob
     w_cut = weight_maps(dmaps, beta1)                    # elementwise: ok batched
 
     if labeler == "mf_icm" and use_pallas:
-        # fully batched Pallas path: fused-MF proposal + sweep-pair ICM for
-        # both starts (separate calls: each convergence while_loop exits on
-        # its own — the warm start usually converges in one pair mid-EM);
-        # selection energies come from the fused reduction kernel
+        # fully batched Pallas path, K-major end to end (the unary is
+        # emitted state-major; no strided relayout anywhere): fused-MF
+        # proposal + sweep-pair ICM for both starts (separate calls: each
+        # convergence while_loop exits on its own — the warm start usually
+        # converges in one pair mid-EM); selection energies and the
+        # posterior/cost/stats tail come from the fused reduction kernels
+        from phylo_hmrf_tpu.models.emission import gaussian_logpdf_kmajor
         from phylo_hmrf_tpu.ops.finish_pallas import potts_energy_pallas
         from phylo_hmrf_tpu.ops.icm_pallas import icm_pallas
-        from phylo_hmrf_tpu.ops.mf_pallas import mean_field_pallas
+        from phylo_hmrf_tpu.ops.mf_pallas import mean_field_pallas_kmajor
 
-        mf_labels = mean_field_pallas(unary, w_cut, beta)
-        cand_a = icm_pallas(unary, w_cut, mask, mf_labels, beta, max_sweeps)
-        cand_b = icm_pallas(unary, w_cut, mask, warm, beta, max_sweeps)
-        unary_k = jnp.transpose(unary, (0, 3, 1, 2))
+        unary_k = -gaussian_logpdf_kmajor(img, means, covars)  # (R,K,H,W)
+        mf_labels = mean_field_pallas_kmajor(unary_k, w_cut, beta)
+        cand_a = icm_pallas(None, w_cut, mask, mf_labels, beta, max_sweeps,
+                            unary_k=unary_k)
+        cand_b = icm_pallas(None, w_cut, mask, warm, beta, max_sweeps,
+                            unary_k=unary_k)
         mask_i = mask.astype(jnp.int32)
         e_a = potts_energy_pallas(unary_k, mask_i, cand_a, w_cut, beta)
         e_b = potts_energy_pallas(unary_k, mask_i, cand_b, w_cut, beta)
         labels_pre = jnp.where((e_a <= e_b)[:, None, None], cand_a, cand_b)
-    elif labeler == "mf_icm":
-        mf_labels = jax.vmap(lambda u, w: mean_field(u, w, beta))(
-            unary, w_cut)
-        labels_pre = None
-    else:
-        mf_labels = warm   # unused placeholder with the right shape
-        labels_pre = None
-
-    if labels_pre is not None:
-        # fully fused tail: posteriors/costs/stats reduce in one Pallas pass
         stats, cost_vec, n_valid = _finish_fused(
             -unary_k, img, mask, dmaps, labels_pre, beta, beta1, weighted_pp)
         return labels_pre, stats, cost_vec, n_valid
 
+    logprob = gaussian_logpdf(img, means, covars)        # (R,H,W,K)
+    unary = -logprob
+
+    if labeler == "mf_icm":
+        mf_labels = jax.vmap(lambda u, w: mean_field(u, w, beta))(
+            unary, w_cut)
+    else:
+        mf_labels = warm   # unused placeholder with the right shape
+
     def one(unary_r, wcut_r, dmaps_r, mask_r, warm_r, mf_r, logprob_r,
-            img_r, labels_r):
-        if labels_pre is not None:
-            labels = labels_r
-        elif labeler == "mf_icm":
+            img_r):
+        if labeler == "mf_icm":
             cand_a, e_a = icm_with_energy(unary_r, wcut_r, mask_r, mf_r,
                                           beta, max_sweeps)
             cand_b, e_b = icm_with_energy(unary_r, wcut_r, mask_r, warm_r,
@@ -153,9 +153,8 @@ def _estep_bucket(img, mask, dmaps, warm, means, covars, beta, beta1, *,
         post, obs, obs2 = sufficient_stats(posteriors, img_r, mask_r)
         return labels, post, obs, obs2, cost_vec, n_valid
 
-    labels_arg = labels_pre if labels_pre is not None else mf_labels
     labels, post, obs, obs2, cost_vec, n_valid = jax.vmap(one)(
-        unary, w_cut, dmaps, mask, warm, mf_labels, logprob, img, labels_arg)
+        unary, w_cut, dmaps, mask, warm, mf_labels, logprob, img)
     return (labels, (post.sum(0), obs.sum(0), obs2.sum(0)), cost_vec,
             n_valid)
 
