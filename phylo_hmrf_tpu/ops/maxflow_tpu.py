@@ -106,18 +106,27 @@ def grid_mincut(excess0: jnp.ndarray, cap_t0: jnp.ndarray,
         e = e - delta
         cap_t = cap_t - delta
 
-        # push to neighbors, one direction at a time (deterministic)
+        # push to neighbors — Jacobi form: all outgoing deltas are computed
+        # against the LOCAL excess only (sequential elementwise budget, no
+        # neighbor reads between directions), incoming flow lands after the
+        # loop. This keeps one whole sweep a radius-1 stencil (the previous
+        # eager-incoming form grew the dependency radius by one per
+        # direction) and updates the (8, H, W) capacity tensor once instead
+        # of 16 scatter-adds.
+        outs = []
         for d in range(8):
             nb_h = _neighbor(h, d, -1)
             admissible = (h == nb_h + 1) & (h < n)
             delta = jnp.where(admissible, jnp.minimum(e, caps[d]), 0.0)
             e = e - delta
-            caps = caps.at[d].add(-delta)
-            # the reverse arc gains capacity at the neighbor; incoming excess
-            rd = _rev(d)
-            inc = _neighbor(delta, rd, 0.0)   # delta arriving at each pixel
-            caps = caps.at[rd].add(inc)
-            e = e + inc
+            outs.append(delta)
+        out_stack = jnp.stack(outs)
+        # reverse arc of direction d gains the flow its neighbor sent via
+        # _rev(d); the same quantity is the excess arriving at each pixel
+        inc_stack = jnp.stack([_neighbor(outs[_rev(d)], d, 0.0)
+                               for d in range(8)])
+        caps = caps - out_stack + inc_stack
+        e = e + jnp.sum(inc_stack, axis=0)
 
         # relabel active nodes with no admissible arcs
         active = (e > _EPS) & (h < n)
@@ -158,13 +167,74 @@ def grid_mincut(excess0: jnp.ndarray, cap_t0: jnp.ndarray,
     return d >= n
 
 
+def grid_mincut_fused(excess0: jnp.ndarray, cap_t0: jnp.ndarray,
+                      caps0: jnp.ndarray, max_sweeps: int = 3000,
+                      relabel_every: int = 32,
+                      interpret: bool = False):
+    """`grid_mincut` with the two stencil hot loops running as
+    temporally-blocked Pallas kernels (ops/mincut_pallas.py): 4
+    push-relabel iterations or 8 BFS min-plus sweeps per kernel instance
+    instead of one XLA-op sweep per loop iteration. Same optimal cut
+    (push-relabel is schedule-independent); ~3x fewer HBM round-trips and
+    8-32x fewer dispatches on the measured chr22 swap moves."""
+    from phylo_hmrf_tpu.ops.mincut_pallas import (
+        bfs_sweeps_pallas, pr_iterations_pallas)
+
+    H, W = excess0.shape
+    n = H * W + 2
+    n_j = jnp.int32(n)
+
+    def bfs_fixpoint(d0, caps):
+        def body(state):
+            d, _, k = state
+            d2 = bfs_sweeps_pallas(d, caps, n_j, n_inner=8,
+                                   interpret=interpret)
+            return d2, jnp.any(d2 != d), k + 8
+
+        d, _, _ = jax.lax.while_loop(
+            lambda s: s[1] & (s[2] < n), body,
+            (d0, jnp.bool_(True), jnp.int32(0)))
+        return d
+
+    def one_block(state):
+        e, h, cap_t, caps, it = state
+
+        def with_relabel(args):
+            h, cap_t, caps = args
+            d0 = jnp.where(cap_t > _EPS, 1, n).astype(jnp.int32)
+            return jnp.maximum(h, bfs_fixpoint(d0, caps))
+
+        h = jax.lax.cond(it % relabel_every == 0, with_relabel,
+                         lambda args: args[0], (h, cap_t, caps))
+        e, h, cap_t, caps = pr_iterations_pallas(
+            e, h, cap_t, caps, n_j, n_inner=4, interpret=interpret)
+        return e, h, cap_t, caps, it + 4
+
+    def cond(state):
+        e, h, cap_t, caps, it = state
+        return jnp.any((e > _EPS) & (h < n)) & (it < max_sweeps)
+
+    h0 = jnp.zeros((H, W), jnp.int32)
+    e, h, cap_t, caps, _ = jax.lax.while_loop(
+        cond, one_block,
+        (excess0.astype(jnp.float32), h0, cap_t0.astype(jnp.float32),
+         caps0.astype(jnp.float32), jnp.int32(0)))
+
+    # source side = cannot reach the sink in the residual graph
+    d0 = jnp.where(cap_t > _EPS, 1, n).astype(jnp.int32)
+    return bfs_fixpoint(d0, caps) >= n
+
+
 def swap_move(labels: jnp.ndarray, unary: jnp.ndarray, wmaps: jnp.ndarray,
               mask: jnp.ndarray, a, b, beta: float,
-              max_sweeps: int = 3000, relabel_every: int = 32) -> jnp.ndarray:
+              max_sweeps: int = 3000, relabel_every: int = 32,
+              use_pallas: bool = False) -> jnp.ndarray:
     """One exact alpha-beta swap move: pixels labeled a or b may exchange
     labels; solved as a binary min-cut (source side = label a).
 
     a, b are traced scalars, so one compiled function serves every pair.
+    ``use_pallas`` routes the min-cut through the temporally-blocked
+    kernels (TPU; same optimal cut).
     """
     K = unary.shape[-1]
     in_play = ((labels == a) | (labels == b)) & mask
@@ -207,8 +277,8 @@ def swap_move(labels: jnp.ndarray, unary: jnp.ndarray, wmaps: jnp.ndarray,
         caps0 = caps0.at[d].add(lam)
         caps0 = caps0.at[_rev(d)].add(_neighbor(lam, _rev(d), 0.0))
 
-    source_side = grid_mincut(excess0, cap_t0, caps0, max_sweeps,
-                              relabel_every)
+    cut = grid_mincut_fused if use_pallas else grid_mincut
+    source_side = cut(excess0, cap_t0, caps0, max_sweeps, relabel_every)
     new_labels = jnp.where(source_side, a, b).astype(labels.dtype)
     return jnp.where(in_play, new_labels, labels)
 
@@ -216,7 +286,8 @@ def swap_move(labels: jnp.ndarray, unary: jnp.ndarray, wmaps: jnp.ndarray,
 def expansion_move(labels: jnp.ndarray, unary: jnp.ndarray,
                    wmaps: jnp.ndarray, mask: jnp.ndarray, alpha,
                    beta: float, max_sweeps: int = 3000,
-                   relabel_every: int = 32) -> jnp.ndarray:
+                   relabel_every: int = 32,
+                   use_pallas: bool = False) -> jnp.ndarray:
     """One exact alpha-expansion move: every pixel may switch to ``alpha``
     (reference ships expansion in GCO, `gco_source/GCoptimization.cpp:965`).
 
@@ -265,24 +336,32 @@ def expansion_move(labels: jnp.ndarray, unary: jnp.ndarray,
     diff = jnp.where(in_play, c1 - c0, 0.0)
     excess0 = jnp.maximum(diff, 0.0)          # S -> p (cut => take alpha)
     cap_t0 = jnp.maximum(-diff, 0.0)          # p -> T (cut => keep)
-    source_side = grid_mincut(excess0, cap_t0, caps0, max_sweeps,
-                              relabel_every)
+    cut = grid_mincut_fused if use_pallas else grid_mincut
+    source_side = cut(excess0, cap_t0, caps0, max_sweeps, relabel_every)
     new_labels = jnp.where(source_side, labels, alpha).astype(labels.dtype)
     return jnp.where(in_play, new_labels, labels)
+
+
+def _auto_pallas(use_pallas) -> bool:
+    """"auto" => fused min-cut kernels on TPU, plain jnp elsewhere."""
+    if use_pallas == "auto":
+        return jax.default_backend() == "tpu"
+    return bool(use_pallas)
 
 
 def expansion_optimize(unary: jnp.ndarray, wmaps: jnp.ndarray,
                        mask: jnp.ndarray, init_labels: jnp.ndarray,
                        beta: float, n_states: int, max_cycles: int = 10,
-                       max_sweeps: int = 3000, tol: float = 1e-6
-                       ) -> jnp.ndarray:
+                       max_sweeps: int = 3000, tol: float = 1e-6,
+                       use_pallas="auto") -> jnp.ndarray:
     """Exact alpha-expansion on device: host loop over cycles, one jitted
     expansion_move per label (alpha traced => K dispatches per cycle)."""
     from phylo_hmrf_tpu.ops.potts import potts_energy
 
     energy = jax.jit(functools.partial(potts_energy, beta=beta))
     move = jax.jit(functools.partial(expansion_move, beta=beta,
-                                     max_sweeps=max_sweeps))
+                                     max_sweeps=max_sweeps,
+                                     use_pallas=_auto_pallas(use_pallas)))
     labels = jnp.where(mask, init_labels, 0).astype(jnp.int32)
     prev_e = float(energy(labels, unary, wmaps, mask))
     for _ in range(max_cycles):
@@ -357,7 +436,8 @@ def _swap_moves_batched(labels, unary, wmaps, mask, pairs_a, pairs_b, *,
 def swap_optimize(unary: jnp.ndarray, wmaps: jnp.ndarray, mask: jnp.ndarray,
                   init_labels: jnp.ndarray, beta: float, n_states: int,
                   max_cycles: int = 10, max_sweeps: int = 3000,
-                  tol: float = 1e-6, batch_pairs: bool = False) -> jnp.ndarray:
+                  tol: float = 1e-6, batch_pairs: bool = False,
+                  use_pallas="auto") -> jnp.ndarray:
     """Exact alpha-beta swap on device. Host loop over cycles (one energy
     fetch per cycle decides convergence).
 
@@ -390,7 +470,8 @@ def swap_optimize(unary: jnp.ndarray, wmaps: jnp.ndarray, mask: jnp.ndarray,
         return labels
 
     move = jax.jit(functools.partial(swap_move, beta=beta,
-                                     max_sweeps=max_sweeps))
+                                     max_sweeps=max_sweeps,
+                                     use_pallas=_auto_pallas(use_pallas)))
     for _ in range(max_cycles):
         hist = np.bincount(
             np.asarray(jnp.where(mask, labels, n_states)).ravel(),

@@ -174,3 +174,52 @@ def test_expansion_optimize_matches_cpp(rng):
     out_flat = region.labels_to_flat(np.asarray(out)).astype(np.int32)
     e_tpu = native.potts_energy(ei, w, unary_flat, beta, out_flat)
     assert e_tpu <= e_cpp + 1e-6 + 1e-4 * abs(e_cpp), (e_tpu, e_cpp)
+
+
+def test_fused_mincut_matches_jnp(rng):
+    """grid_mincut_fused (temporally-blocked Pallas kernels, interpret
+    mode) must produce a cut with the same cost as the jnp push-relabel
+    on random weighted-Potts swap instances (cuts may differ when several
+    minimum cuts exist; the cost may not)."""
+    import jax.numpy as jnp
+    from phylo_hmrf_tpu.ops.maxflow_tpu import (
+        grid_mincut, grid_mincut_fused, ALL_DIRS, _rev, _neighbor)
+
+    H, W = 16, 128
+    for trial in range(3):
+        excess = jnp.asarray(
+            (rng.random((H, W)) * 2 * (rng.random((H, W)) < 0.5))
+            .astype(np.float32))
+        cap_t = jnp.asarray(
+            (rng.random((H, W)) * 2 * (rng.random((H, W)) < 0.5))
+            .astype(np.float32))
+        caps = np.zeros((8, H, W), np.float32)
+        for d in range(4):
+            di, dj = ALL_DIRS[d]
+            lam = (rng.random((H, W)) * 0.5).astype(np.float32)
+            if di:
+                lam[-di:, :] = 0
+            if dj > 0:
+                lam[:, -dj:] = 0
+            elif dj < 0:
+                lam[:, :-dj] = 0
+            caps[d] += lam
+            caps[_rev(d)] += np.asarray(
+                _neighbor(jnp.asarray(lam), _rev(d), 0.0))
+        caps = jnp.asarray(caps)
+
+        side_a = np.asarray(grid_mincut(excess, cap_t, caps))
+        side_b = np.asarray(grid_mincut_fused(excess, cap_t, caps,
+                                              interpret=True))
+
+        def cut_cost(side):
+            # source-side nodes pay their sink arcs, sink-side their
+            # source arcs; crossing neighbor arcs pay their capacity
+            c = float(jnp.sum(jnp.where(side, cap_t, excess)))
+            for d in range(8):
+                nb_side = np.asarray(_neighbor(jnp.asarray(side), d, True))
+                c += float(np.sum(np.asarray(caps)[d]
+                                  * (side & ~nb_side)))
+            return c
+
+        assert cut_cost(side_b) == pytest.approx(cut_cost(side_a), rel=1e-5)
