@@ -186,10 +186,12 @@ def _finish_fused(lp_k, img, mask, dmaps, labels, beta, beta1,
 def _finish_bucket(img, mask, dmaps, labels, means, covars, beta, beta1, *,
                    weighted_pp: bool, use_pallas: bool = False):
     """Posterior/stats pass for externally supplied labels (swap backend)."""
-    logprob = gaussian_logpdf(img, means, covars)
     if use_pallas:
-        return _finish_fused(jnp.transpose(logprob, (0, 3, 1, 2)), img,
-                             mask, dmaps, labels, beta, beta1, weighted_pp)
+        from phylo_hmrf_tpu.models.emission import gaussian_logpdf_kmajor
+        lp_k = gaussian_logpdf_kmajor(img, means, covars)
+        return _finish_fused(lp_k, img, mask, dmaps, labels, beta, beta1,
+                             weighted_pp)
+    logprob = gaussian_logpdf(img, means, covars)
 
     def one(dmaps_r, mask_r, labels_r, logprob_r, img_r):
         w_cut = weight_maps(dmaps_r, beta1)
@@ -279,6 +281,12 @@ class PhyloHMRF:
                           if self.mesh is not None else 1)
         self._spatial = (self._n_shards > 1 and cfg.shard_mode == "spatial")
         if self._spatial:
+            if cfg.labeler != "mf_icm":
+                raise ValueError(
+                    f"shard_mode='spatial' only supports labeler='mf_icm' "
+                    f"(the row-sharded E-step is the MF+ICM pipeline); got "
+                    f"labeler={cfg.labeler!r} — use shard_mode='region' "
+                    f"for the other labelers")
             for r in self.regions:
                 if r.shape[0] % self._n_shards:
                     raise ValueError(
@@ -551,7 +559,7 @@ class PhyloHMRF:
                 labels_j, (p, o, o2), cv, nv = self._sharded_estep(
                     img, mask, dmaps, warm, means_j, covars_j,
                     self._beta, self._beta1)
-                out_labels = np.asarray(labels_j)
+                out_labels = labels_j
             else:
                 labels_j, (p, o, o2), cv, nv = _ESTEP_JIT(
                     img, mask, dmaps, warm, means_j, covars_j,
@@ -560,7 +568,7 @@ class PhyloHMRF:
                     labeler=self._labeler_static,
                     max_sweeps=cfg.icm_max_sweeps,
                     use_pallas=self._use_pallas)
-                out_labels = np.asarray(labels_j)
+                out_labels = labels_j
             post += np.asarray(p, np.float64)
             obs += np.asarray(o, np.float64)
             obs2 += np.asarray(o2, np.float64)

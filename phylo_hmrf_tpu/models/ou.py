@@ -113,13 +113,6 @@ def _regularize(V: jnp.ndarray, floor: float = 1e-6) -> jnp.ndarray:
     return V
 
 
-def _safe_logdet(V: jnp.ndarray) -> jnp.ndarray:
-    """log(det(V) + small_eps) — parity with reference `phylo_hmrf.py:1111`."""
-    sign, logabs = jnp.linalg.slogdet(V)
-    det = jnp.where(sign > 0, jnp.exp(logabs), 0.0)
-    return jnp.log(det + SMALL_EPS)
-
-
 def _chol_unrolled(V: jnp.ndarray):
     """Cholesky factor of a tiny static-F SPD matrix as straight-line code.
 
@@ -147,7 +140,8 @@ def _chol_unrolled(V: jnp.ndarray):
 def _logdet_trace_solve(V: jnp.ndarray, Sn: jnp.ndarray):
     """(log(det V + small_eps), tr(V^{-1} Sn)) via one unrolled Cholesky.
 
-    Exact same values as `_safe_logdet` + `jnp.linalg.solve` on the SPD
+    Exact same values as slogdet-based log(det + small_eps) (reference
+    `phylo_hmrf.py:1111`) + `jnp.linalg.solve` on the SPD
     domain (the box-constrained optimizer path keeps V SPD by construction,
     see `_regularize`); a non-PD excursion yields NaN, which the L-BFGS
     line search rejects — matching the reference's retry-on-invalid policy

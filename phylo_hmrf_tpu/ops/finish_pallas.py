@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from phylo_hmrf_tpu.data.regions import DIRS
 from phylo_hmrf_tpu.ops.mf_pallas import _HALO, _shift_cols, _shift_rows, \
-    _VMEM_LIMIT
+    _VMEM_LIMIT, pick_tile_h
 
 
 def _finish_kernel(scalars_ref, lp_ref, img_ref, mask_ref, labp_ref, wp_ref,
@@ -258,13 +258,9 @@ def _vmem_use_finish(th: int, K: int, F: int, W: int) -> int:
 
 
 def _pick_tile_h_finish(H: int, K: int, F: int, W: int,
-                        budget_bytes: int = _VMEM_LIMIT // 2) -> int:
-    for th in (256, 128, 64, 32, 16, 8):
-        if H % th:
-            continue
-        if _vmem_use_finish(th, K, F, W) <= budget_bytes:
-            return th
-    return 8
+                        budget_bytes: int = 0) -> int:
+    return pick_tile_h(H, lambda th: _vmem_use_finish(th, K, F, W),
+                       budget_bytes)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -19,8 +19,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from phylo_hmrf_tpu.data.regions import DIRS
-from phylo_hmrf_tpu.ops.mf_pallas import _HALO, _pick_tile_h, _shift_cols, \
-    _shift_rows, _VMEM_LIMIT
+from phylo_hmrf_tpu.ops.mf_pallas import _HALO, _pick_tile_h, \
+    _shift_cols, _shift_rows, _VMEM_LIMIT, pick_tile_h
 
 
 def _icm_phase_kernel(scalars_ref, unary_ref, mask_ref, labp_ref, wp_ref,
@@ -155,13 +155,9 @@ def _vmem_use_icm_pair(th: int, K: int, W: int) -> int:
 
 
 def _pick_tile_h_icm_pair(H: int, K: int, W: int,
-                          budget_bytes: int = _VMEM_LIMIT // 2) -> int:
-    for th in (256, 128, 64, 32, 16, 8):
-        if H % th:
-            continue
-        if _vmem_use_icm_pair(th, K, W) <= budget_bytes:
-            return th
-    return 8
+                          budget_bytes: int = 0) -> int:
+    return pick_tile_h(H, lambda th: _vmem_use_icm_pair(th, K, W),
+                       budget_bytes)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

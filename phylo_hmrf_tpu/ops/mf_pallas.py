@@ -182,17 +182,28 @@ def _vmem_use(th: int, K: int, W: int) -> int:
                 + K * th * W)         # agree
 
 
-def _pick_tile_h(H: int, K: int, W: int,
-                 budget_bytes: int = _VMEM_LIMIT // 2) -> int:
-    """Largest multiple-of-8 row tile that divides H (H is padded to a
-    multiple of 8) and fits the VMEM budget (with 2x headroom under the
-    compiler limit)."""
+def pick_tile_h(H: int, vmem_model, budget_bytes: int = 0) -> int:
+    """Largest multiple-of-8 row tile that divides H and fits the VMEM
+    budget (default: half the compiler limit). ``vmem_model(th)`` returns
+    the kernel instance's VMEM bytes at tile ``th``. Raises for H not a
+    multiple of 8: the kernel grids are H // tile_h instances, so a
+    non-divisible H would silently drop the tail rows."""
+    if H % 8:
+        raise ValueError(
+            f"kernel grids need H to be a multiple of 8, got H={H} "
+            f"(pad_h must be a multiple of 8)")
+    budget = budget_bytes or _VMEM_LIMIT // 2
     for th in (256, 128, 64, 32, 16, 8):
         if H % th:
             continue
-        if _vmem_use(th, K, W) <= budget_bytes:
+        if vmem_model(th) <= budget:
             return th
     return 8
+
+
+def _pick_tile_h(H: int, K: int, W: int,
+                 budget_bytes: int = 0) -> int:
+    return pick_tile_h(H, lambda th: _vmem_use(th, K, W), budget_bytes)
 
 
 def _vmem_use_multi(th: int, K: int, W: int) -> int:
@@ -206,13 +217,9 @@ def _vmem_use_multi(th: int, K: int, W: int) -> int:
 
 
 def _pick_tile_h_multi(H: int, K: int, W: int,
-                       budget_bytes: int = _VMEM_LIMIT // 2) -> int:
-    for th in (256, 128, 64, 32, 16, 8):
-        if H % th:
-            continue
-        if _vmem_use_multi(th, K, W) <= budget_bytes:
-            return th
-    return 8
+                       budget_bytes: int = 0) -> int:
+    return pick_tile_h(H, lambda th: _vmem_use_multi(th, K, W),
+                       budget_bytes)
 
 
 @functools.partial(jax.jit, static_argnames=("n_inner", "interpret",

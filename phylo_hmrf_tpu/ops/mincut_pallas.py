@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from phylo_hmrf_tpu.ops.mf_pallas import _HALO, _shift_cols, _shift_rows, \
-    _VMEM_LIMIT
+    _VMEM_LIMIT, pick_tile_h
 from phylo_hmrf_tpu.ops.maxflow_tpu import ALL_DIRS, _EPS, _rev
 
 
@@ -142,13 +142,9 @@ def _pr_kernel(scalars_ref, ep_ref, hp_ref, captp_ref, caps_ref,
 
 
 def _pick_tile(H: int, W: int, fields: int,
-               budget_bytes: int = _VMEM_LIMIT // 2) -> int:
-    for th in (256, 128, 64, 32, 16, 8):
-        if H % th:
-            continue
-        if 4 * fields * (th + 2 * _HALO) * W <= budget_bytes:
-            return th
-    return 8
+               budget_bytes: int = 0) -> int:
+    return pick_tile_h(H, lambda th: 4 * fields * (th + 2 * _HALO) * W,
+                       budget_bytes)
 
 
 @functools.partial(jax.jit, static_argnames=("n_inner", "interpret"))
