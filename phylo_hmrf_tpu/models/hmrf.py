@@ -270,6 +270,10 @@ class PhyloHMRF:
                     f"{self.n_features} leaves")
             self.offsets[i + 1] = self.offsets[i] + r.n_samples
         self.n_samples = int(self.offsets[-1])
+        # in multi-process data-parallel runs (parallel/multiproc.py) this
+        # is the GLOBAL sample count; the local/global distinction matters
+        # for the cost normalization and the M-step's 1/n, lambda_0/sqrt(n)
+        self.n_samples_total = self.n_samples
 
         self.len_vec = np.asarray([
             r.len_vec_row(int(self.offsets[i]), int(self.offsets[i + 1]))
@@ -647,6 +651,13 @@ class PhyloHMRF:
         return (a1 * self.init_ou_params + a2 * self.params_vec
                 + (1.0 - a1 - a2) * rand)
 
+    def _cost_allreduce(self, partial: np.ndarray) -> np.ndarray:
+        """Hook for multi-process runs: the four cost scalars are computed
+        as local weighted partial sums (region sizes / n_samples_total);
+        summing them across processes yields the exact global means.
+        Single-process default: identity."""
+        return partial
+
     def mstep(self, stats) -> np.ndarray:
         cfg = self.cfg
         post, obs, obs2 = stats
@@ -658,7 +669,8 @@ class PhyloHMRF:
                 jnp.asarray(guess, jnp.float32),
                 jnp.asarray(post, jnp.float32), jnp.asarray(obs, jnp.float32),
                 jnp.asarray(obs2, jnp.float32),
-                jnp.float32(self.n_samples), jnp.float32(cfg.lambda_0),
+                jnp.float32(self.n_samples_total),
+                jnp.float32(cfg.lambda_0),
                 jnp.float32(cfg.min_covar), tree=self.tree,
                 lo=cfg.param_lo, hi=cfg.param_hi, iters=cfg.mstep_iters)
             solved = np.asarray(solved, np.float64)
@@ -758,7 +770,8 @@ class PhyloHMRF:
             hist_offset = 0      # fresh run: first flush truncates any stale log
             hist_pending = []
 
-        ratio_vec = self.len_vec[:, 0].astype(np.float64) / self.n_samples
+        ratio_vec = (self.len_vec[:, 0].astype(np.float64)
+                     / self.n_samples_total)
 
         for it in range(it_start, cfg.max_iter):
             t0 = time.time()
@@ -773,10 +786,11 @@ class PhyloHMRF:
             # (phylo_hmrf.py:307 returns [raw, normalized, unary, cost1];
             # base.py uses vec1[id1+1] = normalized). The raw value
             # (vec1[id1] = "pairwise_cost1") is only printed.
-            pairwise_cost_raw = float(costs[:, 0] @ ratio_vec)
-            pairwise_cost = float(costs[:, 1] @ ratio_vec)
-            unary_cost = float(costs[:, 2] @ ratio_vec)
-            cost1 = float(costs[:, 3] @ ratio_vec)
+            reduced = self._cost_allreduce(costs.T @ ratio_vec)
+            pairwise_cost_raw = float(reduced[0])
+            pairwise_cost = float(reduced[1])
+            unary_cost = float(reduced[2])
+            cost1 = float(reduced[3])
 
             d1 = abs((pairwise_cost - prev[0]) / prev[0])
             d2 = abs((unary_cost - prev[1]) / prev[1])
