@@ -64,6 +64,13 @@ def parse_args(argv=None):
     a("--mask_mode", default="structural", choices=["structural", "observed"])
     a("--seed", default="0")
     a("--n_devices", default="0", help="0 = all available devices")
+    a("--coordinator", default="",
+      help="multi-host: jax.distributed coordinator address host:port "
+           "(or set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+           "JAX_PROCESS_ID); regions are partitioned across processes and "
+           "stats/costs allreduce (parallel/multiproc.py)")
+    a("--num_processes", default="0", help="multi-host: total process count")
+    a("--process_id", default="-1", help="multi-host: this process's id")
     a("--checkpoint", default="", help="EM checkpoint file; enables resume")
     a("--checkpoint_every", default="5",
       help="save the EM checkpoint every N iterations")
@@ -168,12 +175,28 @@ def run(opts) -> str:
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
         except Exception:
             pass
-    n_dev = int(opts.n_devices) or len(jax.devices())
+    from phylo_hmrf_tpu.parallel.distributed import initialize_distributed
+    dist = initialize_distributed(
+        opts.coordinator or None,
+        int(opts.num_processes) or None,
+        None if int(opts.process_id) < 0 else int(opts.process_id))
+    n_dev = int(opts.n_devices) or len(jax.local_devices())
     if n_dev > 1:
         from phylo_hmrf_tpu.parallel.mesh import make_mesh
         mesh = make_mesh((n_dev,))
 
-    model = PhyloHMRF(tree, regions, cfg, mesh=mesh)
+    if dist["process_count"] > 1:
+        from phylo_hmrf_tpu.parallel.multiproc import (
+            MultiProcessPhyloHMRF, partition_regions)
+        local, total = partition_regions(
+            regions, dist["process_count"], dist["process_index"])
+        print(f"[distributed] process {dist['process_index']}/"
+              f"{dist['process_count']}: {len(local)}/{len(regions)} "
+              f"regions, {sum(r.n_samples for r in local)}/{total} samples")
+        model = MultiProcessPhyloHMRF(tree, local, cfg,
+                                      n_samples_total=total, mesh=mesh)
+    else:
+        model = PhyloHMRF(tree, regions, cfg, mesh=mesh)
     ckpt_path = opts.checkpoint or None
     from phylo_hmrf_tpu.utils.profiling import jax_trace
     with jax_trace(opts.profile_dir or None):
@@ -183,7 +206,13 @@ def run(opts) -> str:
                            cost_log=opts.cost_log or None)
     print("phase timings:", model.timer.report())
 
-    out_file = save_estimate(result, model.len_vec, opts.output,
+    out_dir = opts.output
+    if dist["process_count"] > 1:
+        # per-process results (local regions' states + the replicated
+        # params/costs) — distinct files on a shared filesystem
+        out_dir = os.path.join(out_dir, f"proc{dist['process_index']}")
+        os.makedirs(out_dir, exist_ok=True)
+    out_file = save_estimate(result, model.len_vec, out_dir,
                              cfg.run_id, cfg.lambda_0, cfg.n_states)
     print(f"saved {out_file}")
     return out_file

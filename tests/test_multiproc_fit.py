@@ -121,3 +121,49 @@ def test_elastic_recovery_sigkill_restart(tmp_path):
     np.testing.assert_allclose(cv_res, tail, rtol=1e-9, atol=1e-12)
     assert resumed[0]["params_sum"] == pytest.approx(
         ref[0]["params_sum"], rel=1e-6)
+
+
+def test_cli_two_process_end_to_end(tmp_path):
+    """The CLI drives multi-host mode: --coordinator/--num_processes/
+    --process_id partition regions across two OS processes and each writes
+    its per-process .mat (proc{i}/ subdirectory)."""
+    import scipy.io
+
+    ex = tmp_path / "ex"
+    gen = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "make_synthetic_example.py")
+    subprocess.run([sys.executable, gen, "--out", str(ex), "--n-bins",
+                    "30", "--n-states", "3"], check=True,
+                   capture_output=True)
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # PYTHONPATH is pinned to the repo alone: an inherited site hook (the
+    # TPU tunnel's .axon_site) would override JAX_PLATFORMS=cpu at import
+    # and put both processes on the single real chip
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               PYTHONPATH=repo)
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "phylo_hmrf_tpu.cli", "-n", "3",
+         "-p", str(ex), "--chromvec", "21,22", "--miter", "2",
+         "--output", str(tmp_path / "out"), "--seed", "1",
+         "--coordinator", f"127.0.0.1:{port}",
+         "--num_processes", "2", "--process_id", str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=str(tmp_path), env=env)
+        for pid in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, err[-3000:]
+    mats = []
+    for pid in range(2):
+        f = tmp_path / "out" / f"proc{pid}" / "estimate_ou_0_1.00_3.mat"
+        assert f.exists()
+        mats.append(scipy.io.loadmat(str(f)))
+    # params/costs are replicated; the state/len vectors are per-process
+    np.testing.assert_allclose(mats[0]["cost_vec"], mats[1]["cost_vec"])
+    np.testing.assert_allclose(mats[0]["params_vec1"],
+                               mats[1]["params_vec1"])
+    n0 = mats[0]["state_vec"].size
+    n1 = mats[1]["state_vec"].size
+    assert n0 > 0 and n1 > 0
