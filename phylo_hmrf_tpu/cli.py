@@ -165,21 +165,27 @@ def run(opts) -> str:
 
     mesh = None
     import jax
+    # jax.distributed must initialize before ANYTHING touches the XLA
+    # backend (jax.default_backend/jax.devices included)
+    from phylo_hmrf_tpu.parallel.distributed import initialize_distributed
+    dist = initialize_distributed(
+        opts.coordinator or None,
+        int(opts.num_processes) or None,
+        None if int(opts.process_id) < 0 else int(opts.process_id))
     # persistent compilation cache: the exact-swap kernels take ~30-45 s to
     # compile the first time; cached compiles make reruns near-instant
     cache_dir = os.environ.get("PHMRF_COMPILE_CACHE",
                                os.path.expanduser("~/.cache/phylo_hmrf_jax"))
     if cache_dir:
         try:
+            # scope by backend: CPU AOT artifacts compiled on another host
+            # are rejected with noisy feature-mismatch warnings when the
+            # same directory serves both TPU and CPU runs
+            cache_dir = os.path.join(cache_dir, jax.default_backend())
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
         except Exception:
             pass
-    from phylo_hmrf_tpu.parallel.distributed import initialize_distributed
-    dist = initialize_distributed(
-        opts.coordinator or None,
-        int(opts.num_processes) or None,
-        None if int(opts.process_id) < 0 else int(opts.process_id))
     n_dev = int(opts.n_devices) or len(jax.local_devices())
     if n_dev > 1:
         from phylo_hmrf_tpu.parallel.mesh import make_mesh
