@@ -500,8 +500,14 @@ def main():
                          "single-device bucket path")
     ap.add_argument("--genome", action="store_true",
                     help="genome-scale throughput: 22 synthetic regions "
-                         "(~7.3M samples) batched as one bucket")
+                         "(~2.8M samples) batched as one bucket")
+    ap.add_argument("--states", type=int, default=0,
+                    help="override the state count K (e.g. 30 for the "
+                         "BASELINE all-chrom config)")
     args = ap.parse_args()
+
+    if args.states:
+        K = args.states
 
     if args.genome:
         tpu_s, n_true = bench_genome(args.iters)
