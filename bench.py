@@ -62,12 +62,10 @@ def _ou_moments_ref(p, tree):
     return mean[tree.leaf_nodes], cov
 
 
-def build_problem():
-    from phylo_hmrf_tpu.data.regions import (
-        flat_index_order, region_from_samples)
+def _bench_tree_and_moments(rng):
+    """The 4-species bench tree + K separated-state OU moments."""
     from phylo_hmrf_tpu.tree import build_tree
 
-    rng = np.random.default_rng(SEED)
     tree = build_tree([(0, 1), (1, 2), (1, 3), (3, 4), (4, 5), (4, 6),
                        (3, 7)], branch_lengths=[0, 32, 20, 6, 6, 6, 12])
     params = rng.random((K, tree.n_params)) * 0.5 + 0.2
@@ -79,22 +77,37 @@ def build_problem():
         m, V = _ou_moments_ref(params[c], tree)
         means[c] = m
         covs[c] = V + 1e-3 * np.eye(F)
+    return tree, params, means, covs
 
-    ii, jj = np.indices((H0, H0))
-    true_lab = ((ii // 24 + jj // 24) % K).astype(np.int32)
-    rows, cols = flat_index_order(H0, H0, True)
+
+def _sample_blocky(rng, h0, means, covs, shift=0):
+    """Blocky true labels on an h0 x h0 diagonal region + per-state Gaussian
+    emissions (one Cholesky per state) + a 15%-corrupted warm start."""
+    from phylo_hmrf_tpu.data.regions import flat_index_order
+
+    ii, jj = np.indices((h0, h0))
+    true_lab = ((ii // 24 + jj // 24 + shift) % K).astype(np.int32)
+    rows, cols = flat_index_order(h0, h0, True)
     lab_flat = true_lab[rows, cols]
-    # sample emissions per state via one Cholesky per state
     x = np.empty((lab_flat.shape[0], F), np.float32)
     for c in range(K):
         sel = lab_flat == c
         Lc = np.linalg.cholesky(covs[c] * 0.5)
         x[sel] = means[c] + rng.standard_normal((sel.sum(), F)) @ Lc.T
     x = np.abs(x).astype(np.float32) + 0.05
-    region = region_from_samples(x, H0, H0, True, pad_h=32, pad_w=128)
     warm = lab_flat.copy()
     flip = rng.random(warm.shape[0]) < 0.15
     warm[flip] = rng.integers(0, K, flip.sum())
+    return x, lab_flat, warm
+
+
+def build_problem():
+    from phylo_hmrf_tpu.data.regions import region_from_samples
+
+    rng = np.random.default_rng(SEED)
+    tree, params, means, covs = _bench_tree_and_moments(rng)
+    x, _, warm = _sample_blocky(rng, H0, means, covs)
+    region = region_from_samples(x, H0, H0, True, pad_h=32, pad_w=128)
     return tree, region, means, covs, warm, params
 
 
@@ -390,25 +403,13 @@ def bench_genome(iters):
     import functools
     import jax
     import jax.numpy as jnp
-    from phylo_hmrf_tpu.data.regions import (
-        flat_index_order, region_from_samples)
+    from phylo_hmrf_tpu.data.regions import region_from_samples
     from phylo_hmrf_tpu.models.hmrf import _estep_bucket
     from phylo_hmrf_tpu.models.ou import ou_nll_stats
     from phylo_hmrf_tpu.ops.lbfgs import minimize_boxed
-    from phylo_hmrf_tpu.tree import build_tree
 
     rng = np.random.default_rng(SEED)
-    tree = build_tree([(0, 1), (1, 2), (1, 3), (3, 4), (4, 5), (4, 6),
-                       (3, 7)], branch_lengths=[0, 32, 20, 6, 6, 6, 12])
-    params = rng.random((K, tree.n_params)) * 0.5 + 0.2
-    for c in range(K):
-        params[c, tree.n_params - tree.n_nodes:] = 0.25 * c + 0.2
-    means = np.zeros((K, F))
-    covs = np.zeros((K, F, F))
-    for c in range(K):
-        m, V = _ou_moments_ref(params[c], tree)
-        means[c] = m
-        covs[c] = V + 1e-3 * np.eye(F)
+    tree, params, means, covs = _bench_tree_and_moments(rng)
 
     Hmax = max(GENOME_SIZES)
     pad_h = ((Hmax + 31) // 32) * 32          # one bucket: uniform shape
@@ -416,21 +417,9 @@ def bench_genome(iters):
     regions, warms = [], []
     n_true = 0
     for ridx, h0 in enumerate(GENOME_SIZES):
-        ii, jj = np.indices((h0, h0))
-        true_lab = ((ii // 24 + jj // 24 + ridx) % K).astype(np.int32)
-        rows, cols = flat_index_order(h0, h0, True)
-        lab_flat = true_lab[rows, cols]
-        x = np.empty((lab_flat.shape[0], F), np.float32)
-        for c in range(K):
-            sel = lab_flat == c
-            Lc = np.linalg.cholesky(covs[c] * 0.5)
-            x[sel] = means[c] + rng.standard_normal((sel.sum(), F)) @ Lc.T
-        x = np.abs(x).astype(np.float32) + 0.05
+        x, lab_flat, warm = _sample_blocky(rng, h0, means, covs, shift=ridx)
         reg = region_from_samples(x, h0, h0, True, pad_h=pad_h, pad_w=pad_w,
                                   region_id=ridx)
-        warm = lab_flat.copy()
-        flip = rng.random(warm.shape[0]) < 0.15
-        warm[flip] = rng.integers(0, K, flip.sum())
         regions.append(reg)
         warms.append(reg.labels_to_grid(warm))
         n_true += lab_flat.shape[0]

@@ -13,6 +13,8 @@ import os
 
 import numpy as np
 
+from phylo_hmrf_tpu.config import LABELERS
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(
@@ -55,8 +57,7 @@ def parse_args(argv=None):
     a("--output", default=".")
     # TPU-native extensions
     a("--labeler", default="mf_icm",
-      choices=["mf_icm", "icm", "lbp", "swap_tpu", "swap",
-               "expansion_tpu", "expansion"])
+      choices=list(LABELERS))
     a("--final_polish", default="1",
       help="1: polish the final state map with one exact on-device swap")
     a("--polish_method", default="swap", choices=["swap", "expansion"])

@@ -10,6 +10,10 @@ from __future__ import annotations
 import dataclasses
 
 
+LABELERS = ("mf_icm", "icm", "lbp", "swap_tpu", "swap",
+            "expansion_tpu", "expansion")
+
+
 @dataclasses.dataclass
 class PhyloHMRFConfig:
     """All knobs for a Phylo-HMRF estimation run.
@@ -120,8 +124,7 @@ class PhyloHMRFConfig:
         if self.num_neighbor not in (4, 8):
             raise ValueError("num_neighbor must be 4 or 8 "
                              f"(got {self.num_neighbor})")
-        if self.labeler not in ("mf_icm", "icm", "lbp", "swap_tpu", "swap",
-                                "expansion_tpu", "expansion"):
+        if self.labeler not in LABELERS:
             raise ValueError(f"unknown labeler {self.labeler!r}")
         if self.polish_method not in ("swap", "expansion"):
             raise ValueError(f"unknown polish_method {self.polish_method!r}")

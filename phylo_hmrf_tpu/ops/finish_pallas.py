@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from phylo_hmrf_tpu.data.regions import DIRS
-from phylo_hmrf_tpu.ops.mf_pallas import _HALO, _shift_cols, _shift_rows, \
+from phylo_hmrf_tpu.ops.mf_pallas import _HALO, _shift2, \
     _VMEM_LIMIT, pick_tile_h
 
 
@@ -78,14 +78,12 @@ def _finish_kernel(scalars_ref, lp_ref, img_ref, mask_ref, labp_ref, wp_ref,
     wsum = jnp.zeros((tile_h, W), w.dtype)
     lab_center = lab[c:c + tile_h, :]
     for d, (dr, dc) in enumerate(DIRS):
-        nb = _shift_rows(_shift_cols(lab[None], dc)[0], dr)[c:c + tile_h, :]
+        nb = _shift2(lab[None], dr, dc)[0][c:c + tile_h, :]
         w_d = w[d, c:c + tile_h, :]
         agree += w_d[None] * (nb[None] == ks).astype(w.dtype)
         wsum += w_d
-        nbm = _shift_rows(_shift_cols(lab[None], -dc)[0],
-                          -dr)[c:c + tile_h, :]
-        w_sh = _shift_rows(_shift_cols(w[d][None], -dc)[0],
-                           -dr)[c:c + tile_h, :]
+        nbm = _shift2(lab[None], -dr, -dc)[0][c:c + tile_h, :]
+        w_sh = _shift2(w[d][None], -dr, -dc)[0][c:c + tile_h, :]
         agree += w_sh[None] * (nbm[None] == ks).astype(w.dtype)
         wsum += w_sh
     pp = beta * (wsum[None] - agree)                     # (K, TH, W)
@@ -180,8 +178,7 @@ def _energy_kernel(scalars_ref, un_ref, mask_ref, labp_ref, wp_ref,
     e_u = jnp.sum(jnp.where(valid, u_at, 0.0))
     e_p = jnp.zeros((), unary.dtype)
     for d, (dr, dc) in enumerate(DIRS):
-        nb = _shift_rows(_shift_cols(lab[None], dc)[0],
-                         dr)[c:c + tile_h, :]
+        nb = _shift2(lab[None], dr, dc)[0][c:c + tile_h, :]
         diff = (lab_center != nb).astype(unary.dtype)
         e_p += jnp.sum(w[d, c:c + tile_h, :] * diff)
     tot = jnp.stack([e_u + beta * e_p, 0.0, 0.0, 0.0,

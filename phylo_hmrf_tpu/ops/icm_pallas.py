@@ -20,7 +20,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from phylo_hmrf_tpu.data.regions import DIRS
 from phylo_hmrf_tpu.ops.mf_pallas import _HALO, _pick_tile_h, \
-    _shift_cols, _shift_rows, _VMEM_LIMIT, pick_tile_h
+    _shift2, _shift_cols, _VMEM_LIMIT, pick_tile_h
 
 
 def _icm_phase_kernel(scalars_ref, unary_ref, mask_ref, labp_ref, wp_ref,
@@ -123,7 +123,7 @@ def _icm_sweeppair_kernel(scalars_ref, unp_ref, maskp_ref, labp_ref, wp_ref,
             + row0 - _HALO + row_offset)
     cols = jax.lax.broadcasted_iota(jnp.int32, (S, W), 1)
     # shifted weights are constant across phases
-    w_sh = [_shift_rows(_shift_cols(w[d], -dc), -dr)
+    w_sh = [_shift2(w[d], -dr, -dc)
             for d, (dr, dc) in enumerate(DIRS)]
 
     for _ in range(2):                 # two sweeps
@@ -131,10 +131,10 @@ def _icm_sweeppair_kernel(scalars_ref, unp_ref, maskp_ref, labp_ref, wp_ref,
             for b in (0, 1):
                 agree = jnp.zeros((K, S, W), w.dtype)
                 for d, (dr, dc) in enumerate(DIRS):
-                    nb = _shift_rows(_shift_cols(lab[None], dc)[0], dr)
+                    nb = _shift2(lab[None], dr, dc)[0]
                     agree += (w[d][None]
                               * (nb[None] == ks).astype(w.dtype))
-                    nbm = _shift_rows(_shift_cols(lab[None], -dc)[0], -dr)
+                    nbm = _shift2(lab[None], -dr, -dc)[0]
                     agree += (w_sh[d][None]
                               * (nbm[None] == ks).astype(w.dtype))
                 score = unary - beta * agree

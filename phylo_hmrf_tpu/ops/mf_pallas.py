@@ -58,6 +58,12 @@ def _shift_rows(x: jnp.ndarray, dr: int) -> jnp.ndarray:
     return jnp.concatenate([zeros, x[..., :S + dr, :]], axis=-2)
 
 
+def _shift2(x: jnp.ndarray, dr: int, dc: int) -> jnp.ndarray:
+    """result[..., r, c] = x[..., r + dr, c + dc], zero outside — the
+    in-slab neighbor view every stencil kernel here uses."""
+    return _shift_rows(_shift_cols(x, dc), dr)
+
+
 def _mf_sweep_kernel(scalars_ref, base_ref, qp_ref, wp_ref, out_ref,
                      q_scratch, w_scratch, sem, *, tile_h: int):
     r = pl.program_id(0)      # region within the batch
@@ -149,16 +155,16 @@ def _mf_multisweep_kernel(scalars_ref, qp_ref, wp_ref, bp_ref, out_ref,
     q = q_scratch[:]          # (K, S, W)
     K = q.shape[0]
     # shifted weights are constant across the inner sweeps
-    w_sh = [_shift_rows(_shift_cols(w[d], -dc), -dr)
+    w_sh = [_shift2(w[d], -dr, -dc)
             for d, (dr, dc) in enumerate(DIRS)]
 
     for _ in range(n_inner):
         agree = jnp.zeros(q.shape, q.dtype)
         for d, (dr, dc) in enumerate(DIRS):
             # forward edge: neighbor at (+dr, +dc), weight at the pixel
-            agree += w[d][None] * _shift_rows(_shift_cols(q, dc), dr)
+            agree += w[d][None] * _shift2(q, dr, dc)
             # backward edge: neighbor at (-dr, -dc), weight at the neighbor
-            agree += w_sh[d][None] * _shift_rows(_shift_cols(q, -dc), -dr)
+            agree += w_sh[d][None] * _shift2(q, -dr, -dc)
         field = base - beta * agree
         z = -field / T
         z = z - jnp.max(z, axis=0, keepdims=True)
@@ -414,10 +420,10 @@ def mean_field_pallas_kmajor(unary_k: jnp.ndarray, wmaps: jnp.ndarray,
         wsum = jnp.zeros(q_r.shape[1:], q_r.dtype)
         for d, (dr, dc) in enumerate(DIRS):
             w = wm_r[d]
-            agree += w[None] * _shift_rows(_shift_cols(q_r, dc), dr)
+            agree += w[None] * _shift2(q_r, dr, dc)
             wsum += w
-            agree += _shift_rows(_shift_cols(w[None] * q_r, -dc), -dr)
-            wsum += _shift_rows(_shift_cols(w[None], -dc), -dr)[0]
+            agree += _shift2(w[None] * q_r, -dr, -dc)
+            wsum += _shift2(w[None], -dr, -dc)[0]
         field = uk_r + beta * (wsum[None] - agree)
         return jnp.argmin(field, axis=0).astype(jnp.int32)
 

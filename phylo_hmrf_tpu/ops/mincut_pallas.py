@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from phylo_hmrf_tpu.ops.mf_pallas import _HALO, _shift_cols, _shift_rows, \
+from phylo_hmrf_tpu.ops.mf_pallas import _HALO, _shift2, \
     _VMEM_LIMIT, pick_tile_h
 from phylo_hmrf_tpu.ops.maxflow_tpu import ALL_DIRS, _EPS, _rev
 
@@ -40,7 +40,7 @@ def _nb(x, d):
     The shifted-in value never matters: every read is guarded by a
     capacity-positive test and boundary arcs have capacity exactly 0."""
     di, dj = ALL_DIRS[d]
-    return _shift_rows(_shift_cols(x, dj), di)
+    return _shift2(x, di, dj)
 
 
 def _bfs_kernel(scalars_ref, dp_ref, caps_ref, out_ref,
