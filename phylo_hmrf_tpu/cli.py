@@ -60,7 +60,7 @@ def parse_args(argv=None):
       choices=list(LABELERS))
     a("--final_polish", default="1",
       help="1: polish the final state map with one exact on-device swap")
-    a("--polish_method", default="swap", choices=["swap", "expansion"])
+    a("--polish_method", default="expansion", choices=["swap", "expansion"])
     a("--shard_mode", default="region", choices=["region", "spatial"])
     a("--mask_mode", default="structural", choices=["structural", "observed"])
     a("--seed", default="0")
@@ -190,7 +190,11 @@ def run(opts) -> str:
     n_dev = int(opts.n_devices) or len(jax.local_devices())
     if n_dev > 1:
         from phylo_hmrf_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh((n_dev,))
+        # multi-process runs shard over this process's OWN chips (the
+        # model is data-parallel across processes; the global device list
+        # contains non-addressable remote chips)
+        local = (jax.local_devices() if dist["process_count"] > 1 else None)
+        mesh = make_mesh((n_dev,), devices=local)
 
     if dist["process_count"] > 1:
         from phylo_hmrf_tpu.parallel.multiproc import (
@@ -205,6 +209,11 @@ def run(opts) -> str:
     else:
         model = PhyloHMRF(tree, regions, cfg, mesh=mesh)
     ckpt_path = opts.checkpoint or None
+    if ckpt_path is not None and dist["process_count"] > 1:
+        # each process checkpoints its OWN local-region labels + history;
+        # a shared path would interleave/clobber one sidecar across
+        # processes and resume would load another process's labels
+        ckpt_path = f"{ckpt_path}.proc{dist['process_index']}"
     from phylo_hmrf_tpu.utils.profiling import jax_trace
     with jax_trace(opts.profile_dir or None):
         result = model.fit(checkpoint_path=ckpt_path,

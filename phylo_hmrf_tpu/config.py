@@ -55,12 +55,13 @@ class PhyloHMRFConfig:
     use_pallas: str = "auto"           # "auto" (TPU only) | "on" | "off": fused MF Pallas kernel
     final_polish: bool = True          # polish the final state map with one
                                        # exact on-device graph-cut pass
-    polish_method: str = "swap"        # "swap" (reference-exact semantics) |
-                                       # "expansion" (K dispatches/cycle vs
-                                       # K(K-1)/2; measured on real chr22 at
-                                       # K=20: 1.7x faster AND ~1% lower
-                                       # energy than swap; a swap pass after
-                                       # it improves only 0.003%)
+    polish_method: str = "expansion"   # "expansion" (default: K dispatches/
+                                       # cycle vs K(K-1)/2; measured on real
+                                       # chr22 at K=20: 1.7x faster AND ~1%
+                                       # lower energy than swap; a swap pass
+                                       # after it improves only 0.003%) |
+                                       # "swap" (the reference E-step's move
+                                       # family, phylo_hmrf.py:496)
     swap_tpu_cycles: int = 4           # swap cycles per swap_tpu E-step /
                                        # final polish. Budget measured on
                                        # FULL real chr22 (K=5): cycle-1 gap

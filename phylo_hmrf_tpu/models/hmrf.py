@@ -301,11 +301,16 @@ class PhyloHMRF:
         for idx, r in enumerate(self.regions):
             self._buckets.setdefault(r.shape, []).append(idx)
         self._bucket_arrays = {}
-        # device-side warm-label cache: shape -> (source label_grids list,
-        # padded bucket labels on device); hit when fit warm-starts from
-        # the previous E-step's own output (avoids the per-iteration
-        # host<->device label round-trip over the tunnel)
+        # device-side warm-label cache: shape -> (tuple of the per-region
+        # label entries an estep produced, padded bucket labels on device);
+        # hit when the warm grids passed in ARE those same entries — keyed
+        # per entry, so any caller holding the previous estep's outputs
+        # (fit's warm start, predict(), or an externally reconstructed
+        # list) skips the per-iteration host<->device label round-trip
+        # (~16 MB/iteration over the tunnel at canonical scale). Entries
+        # are immutable jax arrays, so identity implies unchanged content.
         self._dev_warm = {}
+        self._dev_warm_hits = 0
         for shape, idxs in self._buckets.items():
             img = np.stack([self.regions[i].img for i in idxs])
             mask = np.stack([self.regions[i].mask for i in idxs])
@@ -530,8 +535,10 @@ class PhyloHMRF:
             # tunnel at canonical scale: ~16 MB/iteration)
             cached = self._dev_warm.get(shape)
             r_pad = img.shape[0] - len(idxs)
-            if cached is not None and cached[0] is warm_grids:
+            if cached is not None and all(
+                    warm_grids[ri] is e for ri, e in zip(idxs, cached[0])):
                 warm = cached[1]
+                self._dev_warm_hits += 1
             else:
                 warm_np = np.stack([np.asarray(warm_grids[i])
                                     for i in idxs])
@@ -578,14 +585,15 @@ class PhyloHMRF:
             obs2 += np.asarray(o2, np.float64)
             cv = np.asarray(cv, np.float64)
             nv = np.asarray(nv, np.float64)
-            if isinstance(out_labels, jnp.ndarray):
-                # defer the device->host copy: consumers (.mat export,
-                # checkpoints, track_states) convert lazily via __array__
-                self._dev_warm[shape] = (label_grids, out_labels)
             for bi, ri in enumerate(idxs):
                 costs[ri] = cv[bi]
                 nvalid[ri] = nv[bi]
+                # defer the device->host copy: consumers (.mat export,
+                # checkpoints, track_states) convert lazily via __array__
                 label_grids[ri] = out_labels[bi]
+            if isinstance(out_labels, jnp.ndarray):
+                self._dev_warm[shape] = (
+                    tuple(label_grids[ri] for ri in idxs), out_labels)
         return label_grids, (post, obs, obs2), costs, nvalid
 
     def _exact_labels_all(self, means_j, covars_j, warm_grids,

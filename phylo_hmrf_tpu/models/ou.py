@@ -121,20 +121,28 @@ def _chol_unrolled(V: jnp.ndarray):
     / `slogdet` / `solve`, which each lower to an unfusable LAPACK-style
     kernel whose dispatch latency dominates the vmapped M-step objective
     (measured ~2x of the whole L-BFGS iteration at F=4). Returns the list
-    of lists lower-triangular entries L[i][j] (i >= j)."""
+    of lists lower-triangular entries L[i][j] (i >= j), plus a ``bad``
+    scalar bool: True iff some pivot was non-positive (V not PD). The
+    diagonal is clamped away from zero so a non-PD V yields finite
+    (meaningless) factors rather than NaN — callers turn ``bad`` into an
+    +inf objective, which the L-BFGS line search rejects cleanly (a NaN
+    would also be rejected, but poisons step-size heuristics)."""
     F = V.shape[0]
     L = [[None] * F for _ in range(F)]
+    bad = jnp.zeros((), jnp.bool_)
+    tiny = jnp.asarray(1e-30, V.dtype)
     for j in range(F):
         s = V[j, j]
         for k in range(j):
             s = s - L[j][k] * L[j][k]
-        L[j][j] = jnp.sqrt(s)
+        bad = bad | (s <= 0)
+        L[j][j] = jnp.sqrt(jnp.maximum(s, tiny))
         for i in range(j + 1, F):
             t = V[i, j]
             for k in range(j):
                 t = t - L[i][k] * L[j][k]
             L[i][j] = t / L[j][j]
-    return L
+    return L, bad
 
 
 def _logdet_trace_solve(V: jnp.ndarray, Sn: jnp.ndarray):
@@ -143,15 +151,18 @@ def _logdet_trace_solve(V: jnp.ndarray, Sn: jnp.ndarray):
     Exact same values as slogdet-based log(det + small_eps) (reference
     `phylo_hmrf.py:1111`) + `jnp.linalg.solve` on the SPD
     domain (the box-constrained optimizer path keeps V SPD by construction,
-    see `_regularize`); a non-PD excursion yields NaN, which the L-BFGS
-    line search rejects — matching the reference's retry-on-invalid policy
-    (`phylo_hmrf.py:1108-1133`)."""
+    see `_regularize`); a non-PD excursion yields an +inf logdet, which the
+    L-BFGS line search rejects — matching the reference's retry-on-invalid
+    policy (`phylo_hmrf.py:1108-1133`). (The reference's clamped slogdet
+    can return a finite value for an indefinite V with positive
+    determinant; that off-domain point is rejected here instead — gated by
+    tests/test_mstep.py::test_logdet_trace_nonpd.)"""
     F = V.shape[0]
-    L = _chol_unrolled(V)
+    L, bad = _chol_unrolled(V)
     det = (L[0][0] * L[0][0])
     for j in range(1, F):
         det = det * (L[j][j] * L[j][j])
-    logdet = jnp.log(det + SMALL_EPS)
+    logdet = jnp.where(bad, jnp.inf, jnp.log(det + SMALL_EPS))
     # tr(V^{-1} Sn) = sum(W * W') with W = L^{-1} Sn^{1/2}... simpler:
     # forward-substitute Y = L^{-1} Sn (rows sequential, columns vectorized),
     # then tr(V^{-1} Sn) = tr(L^{-T} Y) = sum_ij (L^{-1})_ij * Y_ji; do the

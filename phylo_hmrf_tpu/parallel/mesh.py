@@ -7,12 +7,16 @@ import jax
 from jax.sharding import Mesh
 
 
-def make_mesh(mesh_shape=None, axis_names=("data",)) -> Mesh:
+def make_mesh(mesh_shape=None, axis_names=("data",), devices=None) -> Mesh:
     """Build a Mesh over the available devices.
 
     mesh_shape None/empty -> 1D mesh over all devices on axis `data`.
+    ``devices`` overrides the device list — multi-process data-parallel
+    runs must pass ``jax.local_devices()`` (the global ``jax.devices()``
+    list is process-0-first, so processes > 0 would otherwise build a mesh
+    of non-addressable remote chips and fail at the first device_put).
     """
-    devices = np.asarray(jax.devices())
+    devices = np.asarray(devices if devices is not None else jax.devices())
     if not mesh_shape:
         mesh_shape = (len(devices),)
     n = int(np.prod(mesh_shape))

@@ -99,6 +99,21 @@ def restore_model(model, arrays: dict, meta: dict) -> dict:
     model.covars_ = arrays["covars"].copy()
     model.init_labels = arrays["init_labels"].copy()
     n = meta["n_regions"]
+    if n != len(model.regions):
+        raise ValueError(
+            f"checkpoint has {n} regions, model has {len(model.regions)} — "
+            f"resume needs the same region partition it was saved under")
+    for i in range(n):
+        got = arrays[f"labels_local_{i}"].shape
+        want = model.regions[i].shape
+        if tuple(got) != tuple(want):
+            saved = meta.get("config", {})
+            raise ValueError(
+                f"checkpoint region {i} grid shape {tuple(got)} != model "
+                f"{tuple(want)}: padded grid shapes depend on config "
+                f"pad_h/pad_w (checkpoint was saved with "
+                f"pad_h={saved.get('pad_h')}, pad_w={saved.get('pad_w')}) "
+                f"— resume with the same padding config")
     model.labels_local = [arrays[f"labels_local_{i}"].copy()
                           for i in range(n)]
     model._rng.bit_generator.state = meta["rng_state"]

@@ -153,3 +153,26 @@ def test_score_samples(example_tree, rng):
     model.means_ = model.means_ + 50.0
     score_bad, _ = model.score_samples()
     assert score_bad < score
+
+
+def test_warm_cache_hits_on_reconstructed_list(example_tree, rng):
+    """The device warm-label cache is keyed on entry identity, not list
+    identity: an externally reconstructed list holding the previous
+    E-step's own outputs must hit (VERDICT r2 item 8)."""
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
+    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=2, seed=1,
+                          mstep_iters=20, pad_h=8, pad_w=8, min_iter=0,
+                          threshold=1e-12)
+    model = PhyloHMRF(example_tree, regions, cfg)
+    model.initialize()
+    out1, _, _, _ = model.estep(model.means_, model.covars_,
+                                model.labels_local)
+    hits0 = model._dev_warm_hits
+    rebuilt = [g for g in out1]          # new list, same entries
+    out2, _, _, _ = model.estep(model.means_, model.covars_, rebuilt)
+    assert model._dev_warm_hits > hits0
+    # and a content change (numpy copy) must NOT hit
+    hits1 = model._dev_warm_hits
+    copied = [np.asarray(g).copy() for g in out2]
+    model.estep(model.means_, model.covars_, copied)
+    assert model._dev_warm_hits == hits1

@@ -257,3 +257,32 @@ def test_cli_10kb_resolution(tmp_path, rng):
     assert (out / "estimate_ou_0_1.00_3.mat").exists()
     assert (out / "data.10Kb.observed.0.npy").exists()
     assert (out / "lenvec.10Kb.observed.0.txt").exists()
+
+
+def test_checkpoint_pad_mismatch_errors(example_tree, rng, tmp_path):
+    """Resuming under a different pad_h/pad_w must fail loudly with a
+    message naming the padding config (ADVICE r2: the r2 pad_h default
+    change 8->32 silently invalidated older checkpoints)."""
+    import pytest
+
+    ck = str(tmp_path / "ck.npz")
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
+    kw = dict(final_polish=False, n_states=3, seed=1, mstep_iters=20,
+              min_iter=0, threshold=1e-9, max_iter=2)
+    m1 = PhyloHMRF(example_tree, regions, PhyloHMRFConfig(pad_h=8, pad_w=8,
+                                                          **kw))
+    m1.fit(verbose=False, checkpoint_path=ck, checkpoint_every=1)
+
+    _, _, _, regions16, _ = synth_problem(example_tree,
+                                          np.random.default_rng(0), K=3,
+                                          H0=16)
+    # rebuild the same data under a different padding config
+    from phylo_hmrf_tpu.data.regions import region_from_samples
+    regions2 = [region_from_samples(r.flat_values(), *[
+        int(r.len_vec_row(0, 0)[3]), int(r.len_vec_row(0, 0)[4])],
+        bool(r.len_vec_row(0, 0)[8]), pad_h=16, pad_w=16)
+        for r in regions]
+    m2 = PhyloHMRF(example_tree, regions2,
+                   PhyloHMRFConfig(pad_h=16, pad_w=16, **kw))
+    with pytest.raises(ValueError, match="pad_h"):
+        m2.fit(verbose=False, checkpoint_path=ck, resume=True)

@@ -87,3 +87,29 @@ def test_mstep_recovers_moments(example_tree, rng):
     np.testing.assert_allclose(np.asarray(m_hat), m_true, atol=0.05)
     np.testing.assert_allclose(np.asarray(V_hat) + 1e-3 * np.eye(4), V_full,
                                atol=0.08)
+
+
+def test_logdet_trace_nonpd():
+    """The unrolled Cholesky objective matches slogdet/solve on SPD inputs
+    and rejects non-PD V with +inf (not NaN): the boxed L-BFGS line search
+    must see a clean ordering signal on off-domain excursions (ADVICE r2)."""
+    from phylo_hmrf_tpu.models.ou import _logdet_trace_solve
+
+    rng = np.random.default_rng(3)
+    A = rng.random((4, 4))
+    V = A @ A.T + 0.5 * np.eye(4)
+    Sn = rng.random((4, 4))
+    Sn = Sn + Sn.T
+    ld, tr = _logdet_trace_solve(jnp.asarray(V, jnp.float32),
+                                 jnp.asarray(Sn, jnp.float32))
+    np.testing.assert_allclose(float(ld), np.linalg.slogdet(V)[1], rtol=1e-5)
+    np.testing.assert_allclose(float(tr), np.trace(np.linalg.solve(V, Sn)),
+                               rtol=1e-4)
+
+    # indefinite V (positive determinant, so the reference's clamped
+    # slogdet would be finite): here +inf, never NaN
+    V_bad = np.diag([1.0, -2.0, -3.0, 1.0])
+    ld_bad, tr_bad = _logdet_trace_solve(jnp.asarray(V_bad, jnp.float32),
+                                         jnp.asarray(Sn, jnp.float32))
+    assert np.isposinf(float(ld_bad))
+    assert not np.isnan(float(tr_bad))
