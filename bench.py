@@ -111,6 +111,56 @@ def build_problem():
     return tree, region, means, covs, warm, params
 
 
+# per-device peaks (dense bf16-matmul TFLOP/s, HBM GB/s) keyed by a prefix
+# of jax Device.device_kind; public figures per chip generation. v2/v3
+# entries are per core (one jax device = one core there).
+_CHIP_PEAKS = (
+    ("TPU v2", (22.5, 300.0)),
+    ("TPU v3", (61.5, 450.0)),
+    ("TPU v4 lite", (138.0, 614.0)),
+    ("TPU v4", (275.0, 1228.0)),
+    ("TPU v5 lite", (197.0, 819.0)),
+    ("TPU v5e", (197.0, 819.0)),
+    ("TPU v5", (459.0, 2765.0)),
+    ("TPU v6 lite", (918.0, 1640.0)),
+    ("TPU v6", (918.0, 1640.0)),
+)
+
+
+def _cost(jitted, *args):
+    """(flops, HBM bytes) from XLA's compile-time cost model. Dynamic
+    while_loop bodies are counted at one trip, so both are lower bounds;
+    Pallas custom calls report bytes (buffer sizes) but zero flops."""
+    ca = jitted.lower(*args).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
+def _roofline(t_iter_s, flops, hbm_bytes):
+    """Achieved FLOP/s and HBM bandwidth vs chip peaks (VERDICT r2 item 5).
+
+    The E-step is stencil/reduction work (VPU + HBM), not matmul work, so
+    MFU against the MXU peak is structurally low — the number that matters
+    for this workload is hbm_util. Reported for every bench mode."""
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    peaks = next((p for pre, p in _CHIP_PEAKS if kind.startswith(pre)),
+                 None)
+    out = {
+        "device_kind": kind,
+        "flops_per_iter": flops,
+        "hbm_bytes_per_iter": hbm_bytes,
+        "achieved_tflops": round(flops / t_iter_s / 1e12, 4),
+        "achieved_hbm_gbs": round(hbm_bytes / t_iter_s / 1e9, 2),
+    }
+    if peaks is not None:
+        out["mfu"] = round(out["achieved_tflops"] / peaks[0], 5)
+        out["hbm_util"] = round(out["achieved_hbm_gbs"] / peaks[1], 4)
+    return out
+
+
 def bench_tpu(tree, region, means, covs, warm, iters):
     import functools
     import jax
@@ -152,7 +202,8 @@ def bench_tpu(tree, region, means, covs, warm, iters):
         for _ in range(n):
             labels, (post, obs, obs2), costs, nv = estep(
                 img, mask, dmaps, warm, means_j, covs_j, beta_j, beta1_j)
-            params, fval = mstep(p0, post, obs, obs2)
+            params, fval = mstep(p0, post.sum(0), obs.sum(0),
+                                 obs2.sum(0))
             warm = labels
             acc = acc + jnp.sum(params) + jnp.sum(costs)
         return float(acc)
@@ -170,7 +221,21 @@ def bench_tpu(tree, region, means, covs, warm, iters):
 
     t1, t5 = timed(1), timed(5)
     # difference out the constant dispatch/fetch overhead of the tunnel
-    return max((t5 - t1) / 4.0, 1e-9)
+    t_iter = max((t5 - t1) / 4.0, 1e-9)
+
+    # roofline: flops from the pure-XLA E-step variant (the Pallas custom
+    # calls report zero flops), bytes from the production (fused) path
+    estep_plain = jax.jit(functools.partial(
+        _estep_bucket, weighted_pp=False, labeler="mf_icm", max_sweeps=60,
+        use_pallas=False))
+    e_args = (img, mask, dmaps, warm_g, means_j, covs_j, beta_j, beta1_j)
+    flops_e, _ = _cost(estep_plain, *e_args)
+    _, bytes_e = _cost(estep, *e_args)
+    labels, (post, obs, obs2), costs, nv = estep(*e_args)
+    flops_m, bytes_m = _cost(mstep, p0, post.sum(0), obs.sum(0),
+                             obs2.sum(0))
+    util = _roofline(t_iter, flops_e + flops_m, bytes_e + bytes_m)
+    return t_iter, util
 
 
 def bench_spatial(tree, region, means, covs, warm, iters):
@@ -217,6 +282,7 @@ def bench_spatial(tree, region, means, covs, warm, iters):
         for _ in range(n):
             labels, (post, obs, obs2), costs, nv = estep(
                 img, mask, dmaps, warm, means_j, covs_j, beta_j, beta1_j)
+            # row-sharded estep stats are already psum'd to (K, ...)
             params, fval = mstep(p0, post, obs, obs2)
             warm = labels
             acc = acc + jnp.sum(params) + jnp.sum(costs)
@@ -451,7 +517,7 @@ def bench_genome(iters):
         for _ in range(n):
             labels, (post, obs, obs2), costs, nv = estep(
                 img, mask, dmaps, warm, means_j, covs_j, beta_j, beta1_j)
-            pr, fval = mstep(p0, post, obs, obs2)
+            pr, fval = mstep(p0, post.sum(0), obs.sum(0), obs2.sum(0))
             warm = labels
             acc = acc + jnp.sum(pr) + jnp.sum(costs)
         return float(acc)
@@ -468,7 +534,19 @@ def bench_genome(iters):
         return float(np.median(vals))
 
     t1, t3 = timed(1), timed(3)
-    return max((t3 - t1) / 2.0, 1e-9), n_true
+    t_iter = max((t3 - t1) / 2.0, 1e-9)
+
+    estep_plain = jax.jit(functools.partial(
+        _estep_bucket, weighted_pp=False, labeler="mf_icm", max_sweeps=60,
+        use_pallas=False))
+    e_args = (img, mask, dmaps, warm_g, means_j, covs_j, beta_j, beta1_j)
+    flops_e, _ = _cost(estep_plain, *e_args)
+    _, bytes_e = _cost(estep, *e_args)
+    labels, (post, obs, obs2), costs, nv = estep(*e_args)
+    flops_m, bytes_m = _cost(mstep, p0, post.sum(0), obs.sum(0),
+                             obs2.sum(0))
+    util = _roofline(t_iter, flops_e + flops_m, bytes_e + bytes_m)
+    return t_iter, n_true, util
 
 
 def main():
@@ -499,13 +577,14 @@ def main():
         K = args.states
 
     if args.genome:
-        tpu_s, n_true = bench_genome(args.iters)
+        tpu_s, n_true, util = bench_genome(args.iters)
         print(json.dumps({
             "metric": "genome_22region_em_iteration_time",
             "value": round(tpu_s, 4),
             "unit": "s",
             "vs_baseline": 0,
             "n_samples": n_true,
+            "utilization": util,
         }))
         return
 
@@ -522,7 +601,8 @@ def main():
             os.makedirs(os.path.dirname(REAL_CACHE), exist_ok=True)
             with open(REAL_CACHE, "w") as f:
                 json.dump(cpu, f, indent=1)
-        tpu_s = bench_tpu(tree, region, means, covs, warm, args.iters)
+        tpu_s, util = bench_tpu(tree, region, means, covs, warm,
+                                args.iters)
         phases = bench_phases_real(tree, region, means, covs, warm,
                                    args.iters)
         print(json.dumps({
@@ -531,25 +611,31 @@ def main():
             "unit": "s",
             "vs_baseline": round(cpu["total_s"] / tpu_s, 2),
             "phases": {k: round(v, 5) for k, v in phases.items()},
+            "utilization": util,
         }))
         return
 
     if args.stress:
         H0 = 3264
         tree, region, means, covs, warm, _ = build_problem()
+        util = None
         if args.spatial:
             tpu_s = bench_spatial(tree, region, means, covs, warm,
                                   args.iters)
             metric = "chr21_10kb_spatial_em_iteration_time"
         else:
-            tpu_s = bench_tpu(tree, region, means, covs, warm, args.iters)
+            tpu_s, util = bench_tpu(tree, region, means, covs, warm,
+                                    args.iters)
             metric = "chr21_10kb_em_iteration_time"
-        print(json.dumps({
+        out = {
             "metric": metric,
             "value": round(tpu_s, 4),
             "unit": "s",
             "vs_baseline": 0,
-        }))
+        }
+        if util is not None:
+            out["utilization"] = util
+        print(json.dumps(out))
         return
 
     tree, region, means, covs, warm, _ = build_problem()
@@ -565,13 +651,14 @@ def main():
         with open(CACHE, "w") as f:
             json.dump(cpu, f, indent=1)
 
-    tpu_s = bench_tpu(tree, region, means, covs, warm, args.iters)
+    tpu_s, util = bench_tpu(tree, region, means, covs, warm, args.iters)
     speedup = cpu["total_s"] / tpu_s
     print(json.dumps({
         "metric": "chr21_50kb_em_iteration_time",
         "value": round(tpu_s, 4),
         "unit": "s",
         "vs_baseline": round(speedup, 2),
+        "utilization": util,
     }))
 
 

@@ -57,7 +57,9 @@ def parse_args(argv=None):
     a("--output", default=".")
     # TPU-native extensions
     a("--labeler", default="mf_icm",
-      choices=list(LABELERS))
+      help=f"one of {', '.join(LABELERS)}, or a budgeted hybrid "
+           f"'mf_icm+swap@N' / 'mf_icm+expansion@N' (exact graph-cut pass "
+           f"every N iterations and on cost stalls, mf_icm otherwise)")
     a("--final_polish", default="1",
       help="1: polish the final state map with one exact on-device swap")
     a("--polish_method", default="expansion", choices=["swap", "expansion"])
@@ -140,39 +142,64 @@ def run(opts) -> str:
 
     ref_filename = os.path.join(data_path, f"{opts.ref_species}.chrom.sizes")
 
-    # quantile normalization constant (reference phylo_hmrf.py:1648-1664)
+    # jax.distributed must initialize before ANYTHING touches the XLA
+    # backend (jax.default_backend/jax.devices included) — and before data
+    # loading, so each process can load only its own chromosomes
+    import jax
+    from phylo_hmrf_tpu.parallel.distributed import initialize_distributed
+    dist = initialize_distributed(
+        opts.coordinator or None,
+        int(opts.num_processes) or None,
+        None if int(opts.process_id) < 0 else int(opts.process_id))
+
+    local_chroms = chrom_vec
+    cache_scope = opts.output
+    if dist["process_count"] > 1:
+        from phylo_hmrf_tpu.parallel.multiproc import partition_chromosomes
+        if dist["process_count"] > len(chrom_vec):
+            raise ValueError(
+                f"{dist['process_count']} processes for {len(chrom_vec)} "
+                f"chromosomes — the data-parallel partition is per "
+                f"chromosome; use at most one process per chromosome")
+        local_chroms = partition_chromosomes(
+            chrom_vec, data_path, cfg, dist["process_count"],
+            dist["process_index"])
+        # preprocessing caches are per-process (distinct chromosome sets)
+        cache_scope = os.path.join(opts.output,
+                                   f"proc{dist['process_index']}")
+
+    # quantile normalization constant (reference phylo_hmrf.py:1648-1664);
+    # multi-process runs scan only local chromosomes and allgather the rows
     x_max = None
     qfile = "chrom_quantile_test.txt"
     if int(opts.quantile) == 0 and os.path.exists(qfile):
         m_vec = np.loadtxt(qfile, delimiter="\t")
         x_max = float(np.median(m_vec[:, 6]))
     else:
-        m_vec = quantile_contact_vec(chrom_vec, cfg.resolution, ref_filename,
-                                     paths, species, cfg.legacy_bin_count)
-        np.savetxt(qfile, m_vec, fmt="%.4f", delimiter="\t")
+        m_vec = quantile_contact_vec(local_chroms, cfg.resolution,
+                                     ref_filename, paths, species,
+                                     cfg.legacy_bin_count)
+        if dist["process_count"] > 1:
+            from phylo_hmrf_tpu.parallel.multiproc import (
+                gather_quantile_rows)
+            m_vec = gather_quantile_rows(m_vec)
+        if dist["process_index"] == 0:
+            np.savetxt(qfile, m_vec, fmt="%.4f", delimiter="\t")
         x_max = x_max_from_quantiles(m_vec)
     print(f"x_max = {x_max}")
 
     regions = None
     if int(opts.reload_mode) == 1:
-        regions = load_cache(opts.output, cfg)
+        regions = load_cache(cache_scope, cfg)
         if regions is None:
             print("cache missing, recomputing")
     if regions is None:
-        regions, _ = load_dataset(chrom_vec, cfg, ref_filename, paths,
+        regions, _ = load_dataset(local_chroms, cfg, ref_filename, paths,
                                   species, data_path, x_max,
                                   n_workers=int(opts.n_workers))
-        save_cache(regions, opts.output, cfg)
+        save_cache(regions, cache_scope, cfg)
 
     mesh = None
-    import jax
-    # jax.distributed must initialize before ANYTHING touches the XLA
-    # backend (jax.default_backend/jax.devices included)
-    from phylo_hmrf_tpu.parallel.distributed import initialize_distributed
-    dist = initialize_distributed(
-        opts.coordinator or None,
-        int(opts.num_processes) or None,
-        None if int(opts.process_id) < 0 else int(opts.process_id))
     # persistent compilation cache: the exact-swap kernels take ~30-45 s to
     # compile the first time; cached compiles make reruns near-instant
     cache_dir = os.environ.get("PHMRF_COMPILE_CACHE",
@@ -198,14 +225,15 @@ def run(opts) -> str:
 
     if dist["process_count"] > 1:
         from phylo_hmrf_tpu.parallel.multiproc import (
-            MultiProcessPhyloHMRF, partition_regions)
-        local, total = partition_regions(
-            regions, dist["process_count"], dist["process_index"])
+            MultiProcessPhyloHMRF, _allreduce_sum)
+        n_local = int(sum(r.n_samples for r in regions))
+        total = int(_allreduce_sum(np.asarray([float(n_local)]))[0])
         print(f"[distributed] process {dist['process_index']}/"
-              f"{dist['process_count']}: {len(local)}/{len(regions)} "
-              f"regions, {sum(r.n_samples for r in local)}/{total} samples")
-        model = MultiProcessPhyloHMRF(tree, local, cfg,
-                                      n_samples_total=total, mesh=mesh)
+              f"{dist['process_count']}: chroms {local_chroms}, "
+              f"{len(regions)} regions, {n_local}/{total} samples")
+        model = MultiProcessPhyloHMRF(tree, regions, cfg,
+                                      n_samples_total=total, mesh=mesh,
+                                      chrom_order=chrom_vec)
     else:
         model = PhyloHMRF(tree, regions, cfg, mesh=mesh)
     ckpt_path = opts.checkpoint or None
@@ -224,10 +252,22 @@ def run(opts) -> str:
 
     out_dir = opts.output
     if dist["process_count"] > 1:
-        # per-process results (local regions' states + the replicated
-        # params/costs) — distinct files on a shared filesystem
-        out_dir = os.path.join(out_dir, f"proc{dist['process_index']}")
-        os.makedirs(out_dir, exist_ok=True)
+        # every process contributes its label shards; process 0 writes the
+        # ONE reference-schema .mat a single-process run would produce
+        # (phylo_hmrf.py:1743-1748)
+        import dataclasses
+        from phylo_hmrf_tpu.parallel.multiproc import gather_global_result
+        state_vec, len_vec_g = gather_global_result(model, result,
+                                                    chrom_vec)
+        if dist["process_index"] != 0:
+            return ""
+        merged = dataclasses.replace(result, labels=state_vec,
+                                     state_list=None)
+        out_file = save_estimate(merged, len_vec_g, out_dir, cfg.run_id,
+                                 cfg.lambda_0, cfg.n_states)
+        print(f"saved {out_file} (merged from "
+              f"{dist['process_count']} processes)")
+        return out_file
     out_file = save_estimate(result, model.len_vec, out_dir,
                              cfg.run_id, cfg.lambda_0, cfg.n_states)
     print(f"saved {out_file}")

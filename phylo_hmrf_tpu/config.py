@@ -13,6 +13,26 @@ import dataclasses
 LABELERS = ("mf_icm", "icm", "lbp", "swap_tpu", "swap",
             "expansion_tpu", "expansion")
 
+# budgeted hybrid labelers: "mf_icm+swap@N" / "mf_icm+expansion@N" run the
+# fast mean-field+ICM labeler most iterations and an exact on-device
+# graph-cut pass every N-th iteration (and when cost1 improvement stalls);
+# N=1 degenerates to exact cuts every iteration — the reference's E-step
+# (phylo_hmrf.py:492-498)
+_HYBRID_RE = r"^mf_icm\+(swap|expansion)@(\d+)$"
+
+
+def parse_hybrid_labeler(labeler: str):
+    """Returns (exact_method, period) for a hybrid labeler string, else
+    None."""
+    import re
+    m = re.match(_HYBRID_RE, labeler)
+    if not m:
+        return None
+    period = int(m.group(2))
+    if period < 1:
+        raise ValueError(f"hybrid labeler period must be >= 1: {labeler!r}")
+    return m.group(1), period
+
 
 @dataclasses.dataclass
 class PhyloHMRFConfig:
@@ -125,7 +145,8 @@ class PhyloHMRFConfig:
         if self.num_neighbor not in (4, 8):
             raise ValueError("num_neighbor must be 4 or 8 "
                              f"(got {self.num_neighbor})")
-        if self.labeler not in LABELERS:
+        if (self.labeler not in LABELERS
+                and parse_hybrid_labeler(self.labeler) is None):
             raise ValueError(f"unknown labeler {self.labeler!r}")
         if self.polish_method not in ("swap", "expansion"):
             raise ValueError(f"unknown polish_method {self.polish_method!r}")

@@ -28,9 +28,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from phylo_hmrf_tpu.config import PhyloHMRFConfig, SMALL_EPS
+from phylo_hmrf_tpu.config import (PhyloHMRFConfig, SMALL_EPS,
+                                   parse_hybrid_labeler)
 from phylo_hmrf_tpu.data.regions import RegionGrid, flat_edge_list
-from phylo_hmrf_tpu.models.emission import gaussian_logpdf
+from phylo_hmrf_tpu.models.emission import (gaussian_logpdf,
+                                            gaussian_logpdf_kmajor)
 from phylo_hmrf_tpu.models.ou import (
     check_params, ou_moments_batch, ou_nll_init, ou_nll_stats,
     propagate_mean_guess)
@@ -91,8 +93,13 @@ def _estep_bucket(img, mask, dmaps, warm, means, covars, beta, beta1, *,
     """One jitted E-step over a stacked region bucket.
 
     img (R,H,W,F), mask (R,H,W), dmaps (R,4,H,W), warm (R,H,W) labels.
-    Returns (labels (R,H,W), (post, obs, obs2) summed over the bucket,
-    cost_vec (R,4), n_valid (R,)). With ``use_pallas`` (TPU), the annealed
+    Returns (labels (R,H,W), per-region (post (R,K), obs (R,K,F),
+    obs2 (R,K,F,F)), cost_vec (R,4), n_valid (R,)). Stats come back
+    PER REGION so the host can sum them in a fixed global region order in
+    f64 — the reduction is then bitwise identical no matter how regions
+    are bucketed or partitioned across processes (the multi-process
+    trajectory equals the single-process one exactly).
+    With ``use_pallas`` (TPU), the annealed
     mean-field stage runs as the fused Pallas kernel batched over regions.
     """
     from phylo_hmrf_tpu.ops.icm import icm_with_energy, mean_field
@@ -155,15 +162,14 @@ def _estep_bucket(img, mask, dmaps, warm, means, covars, beta, beta1, *,
 
     labels, post, obs, obs2, cost_vec, n_valid = jax.vmap(one)(
         unary, w_cut, dmaps, mask, warm, mf_labels, logprob, img)
-    return (labels, (post.sum(0), obs.sum(0), obs2.sum(0)), cost_vec,
-            n_valid)
+    return labels, (post, obs, obs2), cost_vec, n_valid
 
 
 def _finish_fused(lp_k, img, mask, dmaps, labels, beta, beta1,
                   weighted_pp: bool):
     """Pallas fused posterior/cost/stats reduction (ops/finish_pallas.py);
-    lp_k is the K-major (R, K, H, W) log-density field. Returns ((post,
-    obs, obs2) summed over the bucket, cost_vec (R,4), n_valid (R,)) with
+    lp_k is the K-major (R, K, H, W) log-density field. Returns (per-region
+    (post, obs, obs2), cost_vec (R,4), n_valid (R,)) with
     `posteriors_and_costs` cost semantics."""
     from phylo_hmrf_tpu.ops.finish_pallas import finish_stats_pallas
 
@@ -180,7 +186,7 @@ def _finish_fused(lp_k, img, mask, dmaps, labels, beta, beta1,
     cost_vec = jnp.stack(
         [pairwise_cost, pairwise_nrm, unary_cost,
          unary_cost + pairwise_nrm], axis=-1)
-    return (post.sum(0), obs.sum(0), obs2.sum(0)), cost_vec, n_valid
+    return (post, obs, obs2), cost_vec, n_valid
 
 
 def _finish_bucket(img, mask, dmaps, labels, means, covars, beta, beta1, *,
@@ -205,7 +211,7 @@ def _finish_bucket(img, mask, dmaps, labels, means, covars, beta, beta1, *,
 
     post, obs, obs2, cost_vec, n_valid = jax.vmap(one)(
         dmaps, mask, labels, logprob, img)
-    return (post.sum(0), obs.sum(0), obs2.sum(0)), cost_vec, n_valid
+    return (post, obs, obs2), cost_vec, n_valid
 
 
 # ---------------------------------------------------------------------------
@@ -218,6 +224,8 @@ _ESTEP_JIT = jax.jit(_estep_bucket, static_argnames=(
     "weighted_pp", "labeler", "max_sweeps", "use_pallas"))
 _FINISH_JIT = jax.jit(_finish_bucket, static_argnames=("weighted_pp", "use_pallas"))
 _UNARY_JIT = jax.jit(lambda img, means, covars: -gaussian_logpdf(
+    img, means, covars))
+_UNARY_KMAJOR_JIT = jax.jit(lambda img, means, covars: -gaussian_logpdf_kmajor(
     img, means, covars))
 
 
@@ -260,6 +268,19 @@ class PhyloHMRF:
         self.n_states = cfg.n_states
         self.n_features = tree.n_leaves
         self.n_params = tree.n_params
+
+        # opt-in strict-parity precision: the reference runs f64 end to end
+        # (f64 sklearn logpdf phylo_hmrf.py:266-268, SLSQP on f64
+        # objectives :1383); dtype="float64" runs the unary, costs and
+        # M-step objective in f64 on device (jax x64). The fused Pallas
+        # kernels are f32-only, so they are bypassed in this mode.
+        if cfg.dtype not in ("float32", "float64"):
+            raise ValueError(f"dtype must be float32/float64, got "
+                             f"{cfg.dtype!r}")
+        if cfg.dtype == "float64":
+            jax.config.update("jax_enable_x64", True)
+        self._dtype = jnp.dtype(cfg.dtype)
+        self._np_dtype = np.dtype(cfg.dtype)
 
         # flat-sample layout (reference len_vec offsets)
         self.offsets = np.zeros(len(self.regions) + 1, dtype=np.int64)
@@ -312,9 +333,11 @@ class PhyloHMRF:
         self._dev_warm = {}
         self._dev_warm_hits = 0
         for shape, idxs in self._buckets.items():
-            img = np.stack([self.regions[i].img for i in idxs])
+            img = np.stack([self.regions[i].img
+                            for i in idxs]).astype(self._np_dtype)
             mask = np.stack([self.regions[i].mask for i in idxs])
-            dmaps = np.stack([self.regions[i].dmaps for i in idxs])
+            dmaps = np.stack([self.regions[i].dmaps
+                              for i in idxs]).astype(self._np_dtype)
             if self._n_shards > 1 and not self._spatial:
                 from phylo_hmrf_tpu.parallel.sharding import (
                     device_put_bucket, pad_bucket_to_devices)
@@ -327,15 +350,18 @@ class PhyloHMRF:
                                     jnp.asarray(dmaps))
             self._bucket_arrays[shape] = (idxs, img, mask, dmaps)
 
-        labeler = ("mf_icm" if cfg.labeler in
-                   ("swap", "swap_tpu", "expansion", "expansion_tpu")
+        self._hybrid = parse_hybrid_labeler(cfg.labeler)
+        labeler = ("mf_icm" if (self._hybrid is not None or cfg.labeler in
+                   ("swap", "swap_tpu", "expansion", "expansion_tpu"))
                    else cfg.labeler)
         if cfg.use_pallas == "auto":
             use_pallas = jax.default_backend() == "tpu"
         else:
             use_pallas = cfg.use_pallas == "on"
-        self._beta = jnp.float32(cfg.beta)
-        self._beta1 = jnp.float32(cfg.beta1)
+        if cfg.dtype == "float64":
+            use_pallas = False   # the fused kernels are f32-only
+        self._beta = jnp.asarray(cfg.beta, self._dtype)
+        self._beta1 = jnp.asarray(cfg.beta1, self._dtype)
         self._labeler_static = labeler
         self._use_pallas = use_pallas
         if self._spatial:
@@ -373,9 +399,18 @@ class PhyloHMRF:
     def flat_values(self) -> np.ndarray:
         return np.concatenate([r.flat_values() for r in self.regions], axis=0)
 
+    def _init_arrays(self):
+        """(X, per-region [start, stop) slices into X) consumed by
+        ``initialize``. The multi-process subclass returns the GLOBAL
+        sample matrix here so k-means + the per-cluster OU fits are
+        identical to a single-process run's."""
+        slices = [(int(self.offsets[i]), int(self.offsets[i + 1]))
+                  for i in range(len(self.regions))]
+        return self.flat_values(), slices
+
     def initialize(self):
         cfg = self.cfg
-        X = self.flat_values()
+        X, init_slices = self._init_arrays()
         K = self.n_states
 
         if cfg.kmeans_backend == "sklearn":
@@ -402,8 +437,8 @@ class PhyloHMRF:
         # warm-start label grids per region
         self.labels_local = []
         for i, r in enumerate(self.regions):
-            flat = labels[self.offsets[i]:self.offsets[i + 1]]
-            self.labels_local.append(r.labels_to_grid(flat))
+            s0, s1 = init_slices[i]
+            self.labels_local.append(r.labels_to_grid(labels[s0:s1]))
         self.init_labels = labels.copy()
 
     def _fit_init_params(self, X, labels, centers) -> np.ndarray:
@@ -433,9 +468,10 @@ class PhyloHMRF:
 
         for attempt in range(cfg.mstep_retries):
             solved, _ = _init_solve(
-                jnp.asarray(guesses, jnp.float32),
-                jnp.asarray(xbar, jnp.float32),
-                jnp.asarray(xxT, jnp.float32), jnp.float32(cfg.min_covar),
+                jnp.asarray(guesses, self._dtype),
+                jnp.asarray(xbar, self._dtype),
+                jnp.asarray(xxT, self._dtype),
+                jnp.asarray(cfg.min_covar, self._dtype),
                 tree=self.tree, lo=cfg.param_lo, hi=cfg.param_hi,
                 iters=cfg.mstep_iters)
             solved = np.asarray(solved, np.float64)
@@ -463,23 +499,30 @@ class PhyloHMRF:
     # E-step
     # ------------------------------------------------------------------
 
-    def estep(self, means, covars, warm_grids):
+    def estep(self, means, covars, warm_grids, exact_method=None):
         """Run the E-step over all buckets.
 
-        Returns (label_grids per region, stats (post, obs, obs2),
-        costs (n_regions, 4), n_valid (n_regions,)).
+        ``exact_method`` ("swap"/"expansion") forces an exact on-device
+        graph-cut labeling for this call — the hybrid labelers
+        ("mf_icm+swap@N") use it for their periodic exact passes.
+        Returns (label_grids per region, PER-REGION stats (post (R, K),
+        obs (R, K, F), obs2 (R, K, F, F)), costs (n_regions, 4),
+        n_valid (n_regions,)). Stats are reduced later by `_global_stats`
+        in a fixed global region order so the trajectory is independent of
+        bucketing and process partitioning.
         """
         cfg = self.cfg
         K, F = self.n_states, self.n_features
-        post = np.zeros(K)
-        obs = np.zeros((K, F))
-        obs2 = np.zeros((K, F, F))
+        R = len(self.regions)
+        post = np.zeros((R, K))
+        obs = np.zeros((R, K, F))
+        obs2 = np.zeros((R, K, F, F))
         costs = np.zeros((len(self.regions), 4))
         nvalid = np.zeros(len(self.regions))
         label_grids = [None] * len(self.regions)
 
-        means_j = jnp.asarray(means, jnp.float32)
-        covars_j = jnp.asarray(covars, jnp.float32)
+        means_j = jnp.asarray(means, self._dtype)
+        covars_j = jnp.asarray(covars, self._dtype)
 
         if self._spatial:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -489,19 +532,20 @@ class PhyloHMRF:
                 labels, (p, o, o2), cv, nv = self._spatial_estep(
                     img, mask, dmaps, warm, means_j, covars_j,
                     self._beta, self._beta1)
-                post += np.asarray(p, np.float64)
-                obs += np.asarray(o, np.float64)
-                obs2 += np.asarray(o2, np.float64)
+                post[ri] = np.asarray(p, np.float64).reshape(K)
+                obs[ri] = np.asarray(o, np.float64).reshape(K, F)
+                obs2[ri] = np.asarray(o2, np.float64).reshape(K, F, F)
                 costs[ri] = np.asarray(cv, np.float64)
                 nvalid[ri] = float(nv)
                 label_grids[ri] = np.asarray(labels)
             return label_grids, (post, obs, obs2), costs, nvalid
 
         if cfg.labeler in ("swap_tpu", "expansion_tpu"):
+            exact_method = ("expansion" if cfg.labeler == "expansion_tpu"
+                            else "swap")
+        if exact_method is not None:
             label_grids = self._exact_labels_all(
-                means_j, covars_j, warm_grids,
-                method=("expansion" if cfg.labeler == "expansion_tpu"
-                        else "swap"))
+                means_j, covars_j, warm_grids, method=exact_method)
             for shape, (idxs, img, mask, dmaps) in \
                     self._bucket_arrays.items():
                 labels_np = np.stack([label_grids[i] for i in idxs])
@@ -515,12 +559,13 @@ class PhyloHMRF:
                     covars_j, self._beta, self._beta1,
                     weighted_pp=(cfg.estimate_type == 3),
                     use_pallas=self._use_pallas)
-                post += np.asarray(p, np.float64)
-                obs += np.asarray(o, np.float64)
-                obs2 += np.asarray(o2, np.float64)
+                p, o, o2 = (np.asarray(p, np.float64),
+                            np.asarray(o, np.float64),
+                            np.asarray(o2, np.float64))
                 cv = np.asarray(cv, np.float64)
                 nv = np.asarray(nv, np.float64)
                 for bi, ri in enumerate(idxs):
+                    post[ri], obs[ri], obs2[ri] = p[bi], o[bi], o2[bi]
                     costs[ri] = cv[bi]
                     nvalid[ri] = nv[bi]
             return label_grids, (post, obs, obs2), costs, nvalid
@@ -580,12 +625,13 @@ class PhyloHMRF:
                     max_sweeps=cfg.icm_max_sweeps,
                     use_pallas=self._use_pallas)
                 out_labels = labels_j
-            post += np.asarray(p, np.float64)
-            obs += np.asarray(o, np.float64)
-            obs2 += np.asarray(o2, np.float64)
+            p, o, o2 = (np.asarray(p, np.float64),
+                        np.asarray(o, np.float64),
+                        np.asarray(o2, np.float64))
             cv = np.asarray(cv, np.float64)
             nv = np.asarray(nv, np.float64)
             for bi, ri in enumerate(idxs):
+                post[ri], obs[ri], obs2[ri] = p[bi], o[bi], o2[bi]
                 costs[ri] = cv[bi]
                 nvalid[ri] = nv[bi]
                 # defer the device->host copy: consumers (.mat export,
@@ -599,14 +645,39 @@ class PhyloHMRF:
     def _exact_labels_all(self, means_j, covars_j, warm_grids,
                           method: str = "swap"):
         """Exact on-device labeling (mean field + ICM + parallel-push-relabel
-        alpha-beta swap or alpha-expansion) for every region."""
-        from phylo_hmrf_tpu.ops.maxflow_tpu import exact_labels
+        alpha-beta swap or alpha-expansion) for every region.
+
+        Same-shape regions batch: each bucket's unary is computed K-major in
+        one jit and every move vmaps over the bucket's region axis (regions
+        share the move schedule), so a many-region genome run costs ~the
+        per-bucket move schedule instead of a per-region one. Mesh-sharded
+        buckets fall back to the per-region path (the bucket tensors live
+        region-sharded across devices)."""
+        from phylo_hmrf_tpu.ops.maxflow_tpu import (exact_labels,
+                                                    exact_labels_batched)
 
         cfg = self.cfg
         out = [None] * len(self.regions)
+        if self._n_shards == 1:
+            for shape, (idxs, img, mask, dmaps) in \
+                    self._bucket_arrays.items():
+                unary_k = _UNARY_KMAJOR_JIT(img, means_j, covars_j)
+                wm = weight_maps(dmaps, cfg.beta1)
+                warm = jnp.stack([jnp.asarray(warm_grids[i])
+                                  for i in idxs]).astype(jnp.int32)
+                labels = exact_labels_batched(
+                    unary_k, wm, mask, warm, cfg.beta, self.n_states,
+                    max_cycles=cfg.swap_tpu_cycles,
+                    icm_max_sweeps=cfg.icm_max_sweeps, method=method,
+                    use_pallas=self._use_pallas)
+                labels_np = np.asarray(labels)
+                for bi, ri in enumerate(idxs):
+                    out[ri] = labels_np[bi]
+            return out
         for ri, r in enumerate(self.regions):
-            unary = _UNARY_JIT(jnp.asarray(r.img), means_j, covars_j)
-            wm = weight_maps(jnp.asarray(r.dmaps), cfg.beta1)
+            unary = _UNARY_JIT(jnp.asarray(r.img, self._dtype), means_j,
+                               covars_j)
+            wm = weight_maps(jnp.asarray(r.dmaps, self._dtype), cfg.beta1)
             labels = exact_labels(unary, wm, jnp.asarray(r.mask),
                                   jnp.asarray(warm_grids[ri]), cfg.beta,
                                   self.n_states,
@@ -659,27 +730,37 @@ class PhyloHMRF:
         return (a1 * self.init_ou_params + a2 * self.params_vec
                 + (1.0 - a1 - a2) * rand)
 
-    def _cost_allreduce(self, partial: np.ndarray) -> np.ndarray:
-        """Hook for multi-process runs: the four cost scalars are computed
-        as local weighted partial sums (region sizes / n_samples_total);
-        summing them across processes yields the exact global means.
-        Single-process default: identity."""
-        return partial
+    def _global_stats(self, stats):
+        """Per-region (R, ...) stats -> global (K, ...) sums, in region
+        order. Multi-process runs override this with an allgather that
+        rebuilds the SAME global (R_global, ...) arrays in the same order,
+        so the f64 sum — and with it the whole EM trajectory — is bitwise
+        identical to a single-process run's."""
+        post_r, obs_r, obs2_r = stats
+        return post_r.sum(0), obs_r.sum(0), obs2_r.sum(0)
+
+    def _global_costs(self, costs: np.ndarray,
+                      ratio_vec: np.ndarray) -> np.ndarray:
+        """Per-region cost rows (R, 4) -> the four global cost scalars
+        (sample-weighted means, reference base.py:388-389). Overridden by
+        multi-process runs with a deterministic-order global gather."""
+        return costs.T @ ratio_vec
 
     def mstep(self, stats) -> np.ndarray:
         cfg = self.cfg
-        post, obs, obs2 = stats
+        post, obs, obs2 = self._global_stats(stats)
         params = self.params_vec.copy()
         guess = self._blend_guess()
         pending = np.ones(self.n_states, dtype=bool)
         for attempt in range(cfg.mstep_retries):
             solved, _ = _mstep_solve(
-                jnp.asarray(guess, jnp.float32),
-                jnp.asarray(post, jnp.float32), jnp.asarray(obs, jnp.float32),
-                jnp.asarray(obs2, jnp.float32),
-                jnp.float32(self.n_samples_total),
-                jnp.float32(cfg.lambda_0),
-                jnp.float32(cfg.min_covar), tree=self.tree,
+                jnp.asarray(guess, self._dtype),
+                jnp.asarray(post, self._dtype),
+                jnp.asarray(obs, self._dtype),
+                jnp.asarray(obs2, self._dtype),
+                jnp.asarray(self.n_samples_total, self._dtype),
+                jnp.asarray(cfg.lambda_0, self._dtype),
+                jnp.asarray(cfg.min_covar, self._dtype), tree=self.tree,
                 lo=cfg.param_lo, hi=cfg.param_hi, iters=cfg.mstep_iters)
             solved = np.asarray(solved, np.float64)
             still_bad = np.zeros_like(pending)
@@ -699,7 +780,7 @@ class PhyloHMRF:
             params[pending] = self.init_ou_params[pending]
 
         self.params_vec = params
-        means, covars = _moments(jnp.asarray(params, jnp.float32),
+        means, covars = _moments(jnp.asarray(params, self._dtype),
                                  tree=self.tree)
         self.means_ = np.asarray(means, np.float64)
         self.covars_ = (np.asarray(covars, np.float64)
@@ -781,11 +862,21 @@ class PhyloHMRF:
         ratio_vec = (self.len_vec[:, 0].astype(np.float64)
                      / self.n_samples_total)
 
+        d3_prev = np.inf
         for it in range(it_start, cfg.max_iter):
+            exact_method = None
+            if self._hybrid is not None:
+                method, period = self._hybrid
+                # periodic exact pass, plus one whenever cost1 improvement
+                # stalls (within 10x of the stop threshold) so the run
+                # cannot converge onto the weak labeler's fixed point
+                if it % period == 0 or d3_prev < 10 * cfg.threshold:
+                    exact_method = method
             t0 = time.time()
             with self.timer.phase("estep"):
                 label_grids, stats, costs, _ = self.estep(
-                    self.means_, self.covars_, self.labels_local)
+                    self.means_, self.covars_, self.labels_local,
+                    exact_method=exact_method)
             t1 = time.time()
 
             # Reference gather (base.py:388-389): the accumulated
@@ -794,7 +885,7 @@ class PhyloHMRF:
             # (phylo_hmrf.py:307 returns [raw, normalized, unary, cost1];
             # base.py uses vec1[id1+1] = normalized). The raw value
             # (vec1[id1] = "pairwise_cost1") is only printed.
-            reduced = self._cost_allreduce(costs.T @ ratio_vec)
+            reduced = self._global_costs(costs, ratio_vec)
             pairwise_cost_raw = float(reduced[0])
             pairwise_cost = float(reduced[1])
             unary_cost = float(reduced[2])
@@ -804,6 +895,7 @@ class PhyloHMRF:
             d2 = abs((unary_cost - prev[1]) / prev[1])
             d3 = abs((cost1 - prev[2]) / prev[2])
             prev = np.array([pairwise_cost, unary_cost, cost1])
+            d3_prev = d3
 
             monitor.report(it, pairwise_cost, unary_cost, cost1)
             cost_rows.append([it, pairwise_cost, unary_cost, cost1])
@@ -869,7 +961,7 @@ class PhyloHMRF:
 
         # restore: params_vec1 = best-from-3; moments from overall best
         self.params_vec = params_best1.copy()
-        means, covars = _moments(jnp.asarray(params_best, jnp.float32),
+        means, covars = _moments(jnp.asarray(params_best, self._dtype),
                                  tree=self.tree)
         self.means_ = np.asarray(means, np.float64)
         self.covars_ = (np.asarray(covars, np.float64)
@@ -881,8 +973,8 @@ class PhyloHMRF:
             # labels under the restored best-iteration moments
             with self.timer.phase("final_polish"):
                 t_label_grids = self._exact_labels_all(
-                    jnp.asarray(self.means_, jnp.float32),
-                    jnp.asarray(self.covars_, jnp.float32), t_label_grids,
+                    jnp.asarray(self.means_, self._dtype),
+                    jnp.asarray(self.covars_, self._dtype), t_label_grids,
                     method=cfg.polish_method)
 
         labels_flat = np.concatenate([
@@ -925,7 +1017,8 @@ class PhyloHMRF:
         # v1 restores the iter>=3 minimum everywhere (base.py:259-260)
         self.params_vec = result.params_vec1.copy()
         means, covars = _moments(
-            jnp.asarray(result.params_vec1, jnp.float32), tree=self.tree)
+            jnp.asarray(result.params_vec1, self._dtype),
+            tree=self.tree)
         self.means_ = np.asarray(means, np.float64)
         self.covars_ = (np.asarray(covars, np.float64)
                         + cfg0.min_covar * np.eye(self.n_features))
@@ -962,8 +1055,8 @@ class PhyloHMRF:
         if self.means_ is None:
             raise RuntimeError("model not initialized/fit")
         posteriors = self.predict_proba(labels_flat)
-        means_j = jnp.asarray(self.means_, jnp.float32)
-        covars_j = jnp.asarray(self.covars_, jnp.float32)
+        means_j = jnp.asarray(self.means_, self._dtype)
+        covars_j = jnp.asarray(self.covars_, self._dtype)
         total = 0.0
         for i, r in enumerate(self.regions):
             logprob = -np.asarray(
@@ -988,8 +1081,8 @@ class PhyloHMRF:
             raise RuntimeError("model not initialized/fit")
         if labels_flat is None:
             labels_flat = self.predict()
-        means_j = jnp.asarray(self.means_, jnp.float32)
-        covars_j = jnp.asarray(self.covars_, jnp.float32)
+        means_j = jnp.asarray(self.means_, self._dtype)
+        covars_j = jnp.asarray(self.covars_, self._dtype)
         out = np.zeros((self.n_samples, self.n_states), np.float64)
         for i, r in enumerate(self.regions):
             flat = labels_flat[self.offsets[i]:self.offsets[i + 1]]

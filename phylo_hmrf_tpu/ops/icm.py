@@ -54,7 +54,9 @@ def icm(unary: jnp.ndarray, wmaps: jnp.ndarray, mask: jnp.ndarray,
             best = jnp.argmin(score, axis=-1).astype(jnp.int32)
             upd = ph & mask
             new_labels = jnp.where(upd, best, labels)
-            changed += jnp.sum((new_labels != labels).astype(jnp.int32))
+            # dtype pinned: under jax x64, sum(int32) promotes to int64
+            # and would break the while_loop carry type
+            changed += jnp.sum(new_labels != labels, dtype=jnp.int32)
             labels = new_labels
         return labels, changed
 

@@ -45,7 +45,9 @@ def _lloyd(key, X, centers0, k: int, n_iters: int):
     def step(carry, _):
         centers, _ = carry
         d2 = _pairwise_sq_dists(X, centers)
-        assign = jnp.argmin(d2, axis=1)
+        # explicit int32: under jax x64 argmin defaults to int64, which
+        # would break the scan carry type
+        assign = jnp.argmin(d2, axis=1).astype(jnp.int32)
         onehot = jax.nn.one_hot(assign, k, dtype=X.dtype)
         counts = onehot.sum(0)
         sums = onehot.T @ X
@@ -58,13 +60,15 @@ def _lloyd(key, X, centers0, k: int, n_iters: int):
         step, (centers0, jnp.zeros(X.shape[0], jnp.int32)), None,
         length=n_iters)
     d2 = _pairwise_sq_dists(X, centers)
-    assign = jnp.argmin(d2, axis=1)
+    assign = jnp.argmin(d2, axis=1).astype(jnp.int32)
     inertia = jnp.sum(jnp.min(d2, axis=1))
     return centers, assign, inertia
 
 
 def kmeans(key, X: jnp.ndarray, k: int, n_iters: int = 100,
-           n_init: int = 4, pp_subsample: int = 65536):
+           n_init: int = 10, pp_subsample: int = 65536):
+    # n_init matches the reference's MiniBatchKMeans(n_init=10)
+    # (phylo_hmrf.py:238)
     """Best-of-n_init Lloyd k-means with k-means++ seeding.
 
     Returns (centers (K, F), labels (N,), inertia). The ++ seeding runs on a

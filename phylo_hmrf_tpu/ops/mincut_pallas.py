@@ -48,16 +48,22 @@ def _bfs_kernel(scalars_ref, dp_ref, caps_ref, out_ref,
     """The sink-seed term (d <= 1 where cap_t > 0) is already baked into the
     caller's d0, and min-plus updates only decrease d, so re-applying the
     seed every sweep (as the jnp path does) is a no-op — the kernel needs
-    no cap_t at all."""
-    i = pl.program_id(0)
+    no cap_t at all.
+
+    Grid is (R, tiles): a leading region-batch axis so batched multi-label
+    optimizers (`maxflow_tpu._optimize_batched`) run one kernel over a
+    whole same-shape bucket — vmap of a manual-DMA pallas_call cannot
+    lower on TPU (ANY-space blocks must cover the full array)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     n = scalars_ref[0, 0]
 
     row0 = i * tile_h
     slab_rows = pl.ds(row0, tile_h + 2 * _HALO)
-    cp_d = pltpu.make_async_copy(dp_ref.at[slab_rows, :], d_scratch,
+    cp_d = pltpu.make_async_copy(dp_ref.at[b, slab_rows, :], d_scratch,
                                  sem.at[0])
-    cp_c = pltpu.make_async_copy(caps_ref.at[:, slab_rows, :], caps_scratch,
-                                 sem.at[1])
+    cp_c = pltpu.make_async_copy(caps_ref.at[b, :, slab_rows, :],
+                                 caps_scratch, sem.at[1])
     cp_d.start()
     cp_c.start()
     cp_d.wait()
@@ -83,16 +89,19 @@ def _bfs_kernel(scalars_ref, dp_ref, caps_ref, out_ref,
 def _pr_kernel(scalars_ref, ep_ref, hp_ref, captp_ref, caps_ref,
                e_out, h_out, capt_out, caps_out,
                e_s, h_s, capt_s, caps_s, sem, *, tile_h: int, n_inner: int):
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     n = scalars_ref[0, 0]
 
     row0 = i * tile_h
     slab_rows = pl.ds(row0, tile_h + 2 * _HALO)
-    cps = [pltpu.make_async_copy(ep_ref.at[slab_rows, :], e_s, sem.at[0]),
-           pltpu.make_async_copy(hp_ref.at[slab_rows, :], h_s, sem.at[1]),
-           pltpu.make_async_copy(captp_ref.at[slab_rows, :], capt_s,
+    cps = [pltpu.make_async_copy(ep_ref.at[b, slab_rows, :], e_s,
+                                 sem.at[0]),
+           pltpu.make_async_copy(hp_ref.at[b, slab_rows, :], h_s,
+                                 sem.at[1]),
+           pltpu.make_async_copy(captp_ref.at[b, slab_rows, :], capt_s,
                                  sem.at[2]),
-           pltpu.make_async_copy(caps_ref.at[:, slab_rows, :], caps_s,
+           pltpu.make_async_copy(caps_ref.at[b, :, slab_rows, :], caps_s,
                                  sem.at[3])]
     for cp in cps:
         cp.start()
@@ -151,24 +160,29 @@ def _pick_tile(H: int, W: int, fields: int,
 def bfs_sweeps_pallas(d, caps, n, *, n_inner: int = 8,
                       interpret: bool = False):
     """``n_inner`` min-plus BFS sweeps toward the sink in one kernel.
-    d (H, W) int32 distances (seeded by the caller); caps (8, H, W).
-    Returns the updated distances (monotone toward the fixpoint)."""
-    H, W = d.shape
+    d (R, H, W) int32 distances (seeded by the caller); caps (R, 8, H, W).
+    Also accepts unbatched (H, W)/(8, H, W). Returns the updated distances
+    (monotone toward the fixpoint)."""
+    if d.ndim == 2:
+        return bfs_sweeps_pallas(d[None], caps[None], n, n_inner=n_inner,
+                                 interpret=interpret)[0]
+    R, H, W = d.shape
     tile_h = _pick_tile(H, W, fields=8 + 4 + 8)
-    dp = jnp.pad(d, [(_HALO, _HALO), (0, 0)], constant_values=0)
-    capsp = jnp.pad(caps, [(0, 0), (_HALO, _HALO), (0, 0)])
+    dp = jnp.pad(d, [(0, 0), (_HALO, _HALO), (0, 0)], constant_values=0)
+    capsp = jnp.pad(caps, [(0, 0), (0, 0), (_HALO, _HALO), (0, 0)])
     scalars = jnp.asarray([[n]], jnp.int32)
     slab = tile_h + 2 * _HALO
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(H // tile_h,),
+        grid=(R, H // tile_h),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda b, i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, tile_h, W), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((1, tile_h, W), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((slab, W), jnp.int32),
@@ -181,49 +195,55 @@ def bfs_sweeps_pallas(d, caps, n, *, n_inner: int = 8,
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, H, W), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((R, H, W), jnp.int32),
         interpret=interpret,
         **kwargs,
     )(scalars, dp, capsp)
-    return out[0]
 
 
 @functools.partial(jax.jit, static_argnames=("n_inner", "interpret"))
 def pr_iterations_pallas(e, h, cap_t, caps, n, *, n_inner: int = 4,
                          interpret: bool = False):
     """``n_inner`` (<= 4 under the 8-row halo: radius 2/iteration)
-    push-relabel iterations in one kernel. Returns (e, h, cap_t, caps)."""
-    H, W = e.shape
+    push-relabel iterations in one kernel. e/h/cap_t (R, H, W), caps
+    (R, 8, H, W); also accepts unbatched. Returns (e, h, cap_t, caps)."""
+    if e.ndim == 2:
+        out = pr_iterations_pallas(e[None], h[None], cap_t[None],
+                                   caps[None], n, n_inner=n_inner,
+                                   interpret=interpret)
+        return tuple(a[0] for a in out)
+    R, H, W = e.shape
     tile_h = _pick_tile(H, W, fields=2 * (8 + 3) + 8)
-    pad2 = [(_HALO, _HALO), (0, 0)]
+    pad2 = [(0, 0), (_HALO, _HALO), (0, 0)]
     ep = jnp.pad(e, pad2)
     hp = jnp.pad(h, pad2)
     captp = jnp.pad(cap_t, pad2)
-    capsp = jnp.pad(caps, [(0, 0)] + pad2)
+    capsp = jnp.pad(caps, [(0, 0), (0, 0), (_HALO, _HALO), (0, 0)])
     scalars = jnp.asarray([[n]], jnp.int32)
     slab = tile_h + 2 * _HALO
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(H // tile_h,),
+        grid=(R, H // tile_h),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda b, i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile_h, W), lambda i: (0, i, 0),
+            pl.BlockSpec((1, tile_h, W), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_h, W), lambda i: (0, i, 0),
+            pl.BlockSpec((1, tile_h, W), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_h, W), lambda i: (0, i, 0),
+            pl.BlockSpec((1, tile_h, W), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, tile_h, W), lambda i: (0, 0, i, 0),
+            pl.BlockSpec((1, 8, tile_h, W), lambda b, i: (b, 0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -239,16 +259,15 @@ def pr_iterations_pallas(e, h, cap_t, caps, n, *, n_inner: int = 4,
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT)
-    e2, h2, capt2, caps2 = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((1, H, W), e.dtype),
-            jax.ShapeDtypeStruct((1, H, W), jnp.int32),
-            jax.ShapeDtypeStruct((1, H, W), e.dtype),
-            jax.ShapeDtypeStruct((1, 8, H, W), e.dtype),
+            jax.ShapeDtypeStruct((R, H, W), e.dtype),
+            jax.ShapeDtypeStruct((R, H, W), jnp.int32),
+            jax.ShapeDtypeStruct((R, H, W), e.dtype),
+            jax.ShapeDtypeStruct((R, 8, H, W), e.dtype),
         ],
         interpret=interpret,
         **kwargs,
     )(scalars, ep, hp, captp, capsp)
-    return e2[0], h2[0], capt2[0], caps2[0]

@@ -8,13 +8,14 @@ the reference put through mp.Queue — sufficient statistics and the weighted
 cost scalars — here reduced with `jax.experimental.multihost_utils` over
 the jax.distributed backend (`parallel/distributed.py`).
 
-Consistency model: process 0's k-means/OU init is broadcast to all
-processes (`initialize`), every process then sees identical global stats
-and cost scalars each iteration, so the (replicated) M-step and all
-convergence/patience decisions evolve in lockstep; per-region labels stay
-process-local, exactly like the reference's worker-local labels. The fit
-loop itself is unchanged — the subclass only fills the two reduction
-hooks (`estep` stats, `_cost_allreduce`) and the global sample count.
+Consistency model: BITWISE parity with a single-process run. The init
+gathers the global sample matrix (`_init_arrays`), and each iteration's
+stats/cost reduction allgathers PER-REGION rows and re-sums them in the
+single-process region order in f64 (`_global_stats`/`_global_costs`) —
+per-region device results are bitwise independent of bucketing (gated by
+tests), so every process computes the exact trajectory a one-process run
+would, and the merged .mat is identical. Per-region labels stay
+process-local, exactly like the reference's worker-local labels.
 
 Elastic recovery composes with checkpoint/resume: process 0 writes the
 checkpoint (pass `checkpoint_path` only there, or per-process paths); on a
@@ -63,34 +64,228 @@ class MultiProcessPhyloHMRF(PhyloHMRF):
     (see `partition_regions`)."""
 
     def __init__(self, tree, local_regions, config=None, *,
-                 n_samples_total: int, mesh=None):
+                 n_samples_total: int, mesh=None, chrom_order=None):
         super().__init__(tree, local_regions, config, mesh=mesh)
         self.n_samples_total = int(n_samples_total)
+        # global region order for cross-process assembly: chromosomes in
+        # chrom_order (the CLI's chrom_vec), regions by region_id within
+        self.chrom_order = (list(chrom_order) if chrom_order is not None
+                            else None)
+
+    def _region_key(self, r):
+        c = int(r.chrom)
+        if self.chrom_order is not None and c in self.chrom_order:
+            c = self.chrom_order.index(c)
+        return (c, int(r.region_id))
+
+    def _init_arrays(self):
+        """Gather every process's flat samples so k-means and the
+        per-cluster OU fits see the SAME global X (in single-process region
+        order) a one-process run would — initialization is then bitwise
+        reproducible regardless of the partition. The global X is only
+        materialized transiently here; the EM itself stays local."""
+        import jax
+
+        if jax.process_count() == 1:
+            return super()._init_arrays()
+        meta = np.asarray(
+            [list(self._region_key(r)) + [r.n_samples]
+             for r in self.regions], np.int64).reshape(-1, 3)
+        metas = _allgather_ragged(meta)
+        values = _allgather_ragged(self.flat_values())
+        shards = []
+        for p, (rows, Xp) in enumerate(zip(metas, values)):
+            off = 0
+            for li, row in enumerate(rows):
+                n = int(row[2])
+                shards.append(((int(row[0]), int(row[1])),
+                               Xp[off:off + n], p, li))
+                off += n
+        shards.sort(key=lambda s: s[0])
+        X = np.concatenate([s[1] for s in shards], axis=0)
+        slices = [None] * len(self.regions)
+        off = 0
+        me = jax.process_index()
+        for _, xs, p, li in shards:
+            if p == me:
+                slices[li] = (off, off + xs.shape[0])
+            off += xs.shape[0]
+        return X, slices
 
     def initialize(self):
-        """Local k-means/OU init, then broadcast process 0's parameters so
-        every process starts the EM from the same state (warm-start label
-        grids stay local — they are re-labeled by the first E-step)."""
+        """Global-X k-means/OU init (see `_init_arrays`), then broadcast
+        process 0's parameters as a belt-and-braces determinism guard
+        (identical inputs should already yield identical fits)."""
         import jax
         from jax.experimental import multihost_utils
 
         super().initialize()
         if jax.process_count() > 1:
-            synced = multihost_utils.broadcast_one_to_all(
-                (self.params_vec, self.init_ou_params, self.means_,
-                 self.covars_))
-            self.params_vec, self.init_ou_params = (
-                np.asarray(synced[0]), np.asarray(synced[1]))
-            self.means_, self.covars_ = (np.asarray(synced[2]),
-                                         np.asarray(synced[3]))
+            # bit-exact broadcast: broadcast_one_to_all would downcast the
+            # f64 parameters to f32 (x64 off), perturbing the trajectory
+            # vs a single-process run — ship raw bytes as uint32 instead
+            synced = []
+            for a in (self.params_vec, self.init_ou_params, self.means_,
+                      self.covars_):
+                a = np.ascontiguousarray(a)
+                words = multihost_utils.broadcast_one_to_all(
+                    a.reshape(-1).view(np.uint32))
+                synced.append(np.asarray(words, np.uint32)
+                              .view(a.dtype).reshape(a.shape))
+            self.params_vec, self.init_ou_params = synced[0], synced[1]
+            self.means_, self.covars_ = synced[2], synced[3]
 
-    def estep(self, means, covars, warm_grids):
-        label_grids, (post, obs, obs2), costs, nvalid = super().estep(
-            means, covars, warm_grids)
-        post = _allreduce_sum(post)
-        obs = _allreduce_sum(obs)
-        obs2 = _allreduce_sum(obs2)
-        return label_grids, (post, obs, obs2), costs, nvalid
+    def _gather_region_rows(self, arr: np.ndarray) -> np.ndarray:
+        """Allgather per-region rows from every process and rebuild the
+        global (R_global, ...) array in single-process region order
+        (chrom_vec order, region_id within). The result is a C-contiguous
+        f64 array identical to the one a single-process run holds, so the
+        subsequent numpy reduction is bitwise identical too."""
+        keys = np.asarray([list(self._region_key(r))
+                           for r in self.regions], np.int64).reshape(-1, 2)
+        keys_g = np.concatenate(_allgather_ragged(keys), axis=0)
+        rows_g = np.concatenate(_allgather_ragged(
+            np.ascontiguousarray(np.asarray(arr, np.float64))), axis=0)
+        order = np.lexsort((keys_g[:, 1], keys_g[:, 0]))
+        return np.ascontiguousarray(rows_g[order])
 
-    def _cost_allreduce(self, partial: np.ndarray) -> np.ndarray:
-        return _allreduce_sum(partial)
+    def _global_stats(self, stats):
+        return tuple(self._gather_region_rows(s).sum(0) for s in stats)
+
+    def _global_costs(self, costs: np.ndarray,
+                      ratio_vec: np.ndarray) -> np.ndarray:
+        costs_g = self._gather_region_rows(costs)
+        ratio_g = self._gather_region_rows(
+            np.asarray(ratio_vec).reshape(-1, 1))[:, 0]
+        return costs_g.T @ ratio_g
+
+
+# ---------------------------------------------------------------------------
+# host-local loading + single global result (VERDICT r2 item 4)
+# ---------------------------------------------------------------------------
+
+def estimate_chrom_samples(chrom, synteny_dir: str, cfg) -> int:
+    """Structural sample-count estimate for one chromosome from synteny
+    metadata ALONE (a tiny text file — no contact IO): a diagonal block of
+    B bins holds ~B(B+1)/2 upper-triangle samples, an off-diagonal block
+    H x W. Exact counts need the contact positions (the raster window is
+    data-dependent), but for load balancing the block spans are enough."""
+    import os
+
+    from phylo_hmrf_tpu.data.synteny import subregion1
+
+    path = os.path.join(synteny_dir, f"chr{chrom}.synteny.txt")
+    _, pairs = subregion1(path, chrom, cfg.resolution,
+                          cfg.centromere_splits)
+    if cfg.diagonal_type == 1:
+        pairs = [p for p in pairs if p[0] == p[2] and p[1] == p[3]]
+    n = 0
+    for p in pairs:
+        h = (p[1] - p[0]) // cfg.resolution + 1
+        w = (p[3] - p[2]) // cfg.resolution + 1
+        n += h * (h + 1) // 2 if (p[0] == p[2] and p[1] == p[3]) else h * w
+    return int(n)
+
+
+def partition_chromosomes(chrom_vec, synteny_dir: str, cfg,
+                          n_processes: int, process_id: int):
+    """Deterministic snake partition of chromosomes by estimated sample
+    count, decided BEFORE any contact loading so each process reads only
+    its own chromosomes (the reference's per-chromosome loader boundary,
+    utility.py:284-298, is the split). Returns this process's chromosome
+    list in global chrom_vec order."""
+    est = {c: estimate_chrom_samples(c, synteny_dir, cfg)
+           for c in chrom_vec}
+    order = sorted(range(len(chrom_vec)),
+                   key=lambda i: (-est[chrom_vec[i]], i))
+    local = []
+    for rank, idx in enumerate(order):
+        lap, pos = divmod(rank, n_processes)
+        owner = pos if lap % 2 == 0 else n_processes - 1 - pos
+        if owner == process_id:
+            local.append(chrom_vec[idx])
+    local.sort(key=chrom_vec.index)
+    return local
+
+
+def _allgather_ragged(arr: np.ndarray):
+    """Gather a per-process array whose LEADING dimension differs across
+    processes; trailing dims must match. Returns the per-process list (pad
+    to the max count, one process_allgather, slice back).
+
+    BIT-EXACT: process_allgather silently downcasts f64->f32 / int64->int32
+    when jax x64 is off, which would destroy the bitwise trajectory-parity
+    guarantee — so rows travel as a uint32 view of their raw bytes and are
+    reinterpreted on arrival."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return [arr]
+    counts = multihost_utils.process_allgather(
+        np.asarray([arr.shape[0]], np.uint32))
+    counts = counts.reshape(jax.process_count())
+    maxn = int(counts.max())
+    pad = np.zeros((maxn,) + arr.shape[1:], arr.dtype)
+    pad[:arr.shape[0]] = arr
+    words = np.ascontiguousarray(pad).reshape(maxn, -1).view(np.uint32) \
+        if maxn else np.zeros((0, 1), np.uint32)
+    gathered = multihost_utils.process_allgather(words)
+    gathered = np.asarray(gathered, np.uint32)
+    out = []
+    for p in range(jax.process_count()):
+        rows = gathered[p].view(arr.dtype).reshape(
+            (maxn,) + arr.shape[1:])[:int(counts[p])]
+        out.append(rows)
+    return out
+
+
+def gather_quantile_rows(m_vec_local: np.ndarray) -> np.ndarray:
+    """Allgather per-(chromosome, species) quantile rows so every process
+    computes the same global x_max from only its locally scanned
+    chromosomes. Row order differs from a single-process scan, but the
+    only consumer is the MEDIAN of column 6 (x_max_from_quantiles), which
+    is order-invariant."""
+    return np.concatenate(_allgather_ragged(
+        np.asarray(m_vec_local, np.float64)), axis=0)
+
+
+def gather_global_result(model, result, chrom_vec):
+    """Assemble the single-run state_vec/len_vec from all processes' local
+    region shards (identical on every process; process 0 writes the one
+    reference-schema .mat, phylo_hmrf.py:1743-1748).
+
+    Region order matches a single-process run: chromosomes in chrom_vec
+    order, regions in synteny order (region_id) within a chromosome.
+    Returns (state_vec (N_global,), len_vec (R_global, 10))."""
+    chrom_pos = {int(c): i for i, c in enumerate(chrom_vec)}
+    meta = []
+    off = 0
+    for r in model.regions:
+        meta.append([chrom_pos[int(r.chrom)], int(r.region_id),
+                     r.n_samples, r.H0, r.W0, r.start1, r.start2,
+                     1 if r.is_diag else 0, int(r.chrom), off])
+        off += r.n_samples
+    meta = np.asarray(meta, np.int64).reshape(-1, 10)
+    metas = _allgather_ragged(meta)
+    labels = _allgather_ragged(
+        np.asarray(result.labels, np.int64).reshape(-1, 1))
+
+    shards = []
+    for rows, labs in zip(metas, labels):
+        labs = labs[:, 0]
+        for row in rows:
+            (cpos, rid, n, H0, W0, s1, s2, tid, chrom, loc_off) = row
+            shards.append(((int(cpos), int(rid)),
+                           [int(n), 0, 0, int(H0), int(W0), int(s1),
+                            int(s2), int(rid), int(tid), int(chrom)],
+                           labs[loc_off:loc_off + n]))
+    shards.sort(key=lambda s: s[0])
+    state_vec = np.concatenate([s[2] for s in shards])
+    len_vec = []
+    off = 0
+    for _, row, lab in shards:
+        row[1], row[2] = off, off + row[0]
+        off += row[0]
+        len_vec.append(row)
+    return state_vec, np.asarray(len_vec, np.int64)

@@ -48,23 +48,19 @@ def make_sharded_estep(mesh: Mesh, *, weighted_pp: bool,
 
     The returned function has the same signature/returns as
     models.hmrf._estep_bucket but requires the bucket's leading region axis
-    to be divisible by the mesh size; stats come back fully reduced
-    (identical on every device)."""
+    to be divisible by the mesh size; per-region stats come back sharded
+    over the mesh like the labels (the host's fixed-order f64 sum replaces
+    the former on-device psum, keeping the reduction order identical to a
+    single-device run's)."""
 
     local = functools.partial(
         _estep_bucket, weighted_pp=weighted_pp,
         labeler=labeler, max_sweeps=max_sweeps, use_pallas=use_pallas)
 
-    def shard_fn(img, mask, dmaps, warm, means, covars, beta, beta1):
-        labels, stats, costs, nvalid = local(
-            img, mask, dmaps, warm, means, covars, beta, beta1)
-        stats = tuple(jax.lax.psum(s, axis) for s in stats)
-        return labels, stats, costs, nvalid
-
     sharded = jax.shard_map(
-        shard_fn, mesh=mesh,
+        local, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P(), P()),
-        out_specs=(P(axis), (P(), P(), P()), P(axis), P(axis)),
+        out_specs=(P(axis), (P(axis), P(axis), P(axis)), P(axis), P(axis)),
         check_vma=False)
     return jax.jit(sharded)
 

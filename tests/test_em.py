@@ -176,3 +176,115 @@ def test_warm_cache_hits_on_reconstructed_list(example_tree, rng):
     copied = [np.asarray(g).copy() for g in out2]
     model.estep(model.means_, model.covars_, copied)
     assert model._dev_warm_hits == hits1
+
+
+def test_hybrid_labeler(example_tree, rng):
+    """mf_icm+swap@2 runs an exact pass on even iterations (and on cost
+    stalls) and must do at least as well as pure mf_icm at the horizon."""
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
+    kw = dict(final_polish=False, n_states=3, max_iter=4, seed=1,
+              mstep_iters=20, pad_h=8, pad_w=8, min_iter=99,
+              threshold=1e-12)
+    model = PhyloHMRF(example_tree, regions,
+                      PhyloHMRFConfig(labeler="mf_icm+swap@2", **kw))
+    assert model._hybrid == ("swap", 2)
+    calls = []
+    orig = model._exact_labels_all
+    model._exact_labels_all = (
+        lambda *a, **k: calls.append(k.get("method")) or orig(*a, **k))
+    res = model.fit(verbose=False)
+    # iterations 0 and 2 exact (no stall triggers expected in 4 iters)
+    assert len(calls) >= 2 and all(c == "swap" for c in calls)
+
+    plain = PhyloHMRF(example_tree, regions,
+                      PhyloHMRFConfig(labeler="mf_icm", **kw)
+                      ).fit(verbose=False)
+    n = min(res.n_iters, plain.n_iters)
+    assert res.cost_vec[n - 1, 3] <= plain.cost_vec[n - 1, 3] + 1e-3
+
+
+def test_hybrid_labeler_config_validation():
+    import pytest
+    from phylo_hmrf_tpu.config import parse_hybrid_labeler
+    assert parse_hybrid_labeler("mf_icm+expansion@5") == ("expansion", 5)
+    assert parse_hybrid_labeler("mf_icm") is None
+    with pytest.raises(ValueError):
+        PhyloHMRFConfig(labeler="mf_icm+swap@")
+    with pytest.raises(ValueError):
+        PhyloHMRFConfig(labeler="bogus")
+
+
+def test_f64_parity_mode(example_tree, rng):
+    """dtype='float64' (VERDICT r2 item 3): the device unary must match the
+    reference-semantics f64 host logpdf to f64 tolerance, and a short EM
+    must run end to end in f64 (the reference runs f64 throughout:
+    phylo_hmrf.py:266-268, :1383)."""
+    import jax
+    from phylo_hmrf_tpu.models.hmrf import _UNARY_JIT, _gauss_logpdf_np
+
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
+    cfg = PhyloHMRFConfig(dtype="float64", final_polish=False, n_states=3,
+                          max_iter=3, seed=1, mstep_iters=20, pad_h=8,
+                          pad_w=8, min_iter=0, threshold=1e-12,
+                          use_pallas="off")
+    try:
+        model = PhyloHMRF(example_tree, regions, cfg)
+        model.initialize()
+        r = model.regions[0]
+        unary = np.asarray(_UNARY_JIT(
+            jnp.asarray(r.img, jnp.float64),
+            jnp.asarray(model.means_, jnp.float64),
+            jnp.asarray(model.covars_, jnp.float64)))
+        assert unary.dtype == np.float64
+        ref = np.stack([
+            -_gauss_logpdf_np(r.flat_values().astype(np.float64),
+                              model.means_[c], model.covars_[c],
+                              cfg.min_covar)
+            for c in range(3)], axis=1)
+        np.testing.assert_allclose(unary[r.flat_rows, r.flat_cols], ref,
+                                   rtol=1e-9, atol=1e-9)
+
+        res = model.fit(verbose=False)
+        assert np.isfinite(res.cost_vec).all()
+        assert res.cost_vec[-1, 3] <= res.cost_vec[0, 3] + 1e-9
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_bucket_batching_bitwise_stable(example_tree, rng):
+    """The multi-process bitwise-parity guarantee (parallel/multiproc.py)
+    rests on this invariant: per-region E-step outputs (labels, per-region
+    stats, costs) are bitwise independent of how regions are bucketed —
+    an R=2 batch must equal two R=1 calls exactly."""
+    import functools
+    import jax
+    from phylo_hmrf_tpu.models.hmrf import _estep_bucket
+
+    _, means, covs, regions, _ = synth_problem(example_tree, rng, K=3,
+                                               H0=16)
+    img = np.stack([regions[0].img, regions[0].img])
+    # second slot: a different region's content, same shape
+    rng2 = np.random.default_rng(7)
+    img[1] = img[1][..., ::-1] * 0.7 + 0.1 * rng2.random(img[1].shape)
+    mask = np.stack([regions[0].mask] * 2)
+    dmaps = np.stack([regions[0].dmaps] * 2)
+    warm = np.zeros(mask.shape, np.int32)
+
+    est = jax.jit(functools.partial(
+        _estep_bucket, weighted_pp=False, labeler="mf_icm", max_sweeps=60,
+        use_pallas=False))
+    args = lambda sl: (jnp.asarray(img[sl]), jnp.asarray(mask[sl]),
+                       jnp.asarray(dmaps[sl]), jnp.asarray(warm[sl]),
+                       jnp.asarray(means, jnp.float32),
+                       jnp.asarray(covs, jnp.float32),
+                       jnp.float32(1.0), jnp.float32(0.5))
+    lab2, st2, c2, n2 = est(*args(slice(None)))
+    outs1 = [est(*args(slice(i, i + 1))) for i in range(2)]
+    for i in range(2):
+        lab1, st1, c1, n1 = outs1[i]
+        np.testing.assert_array_equal(np.asarray(lab2[i]),
+                                      np.asarray(lab1[0]))
+        for a, b in zip(st2, st1):
+            np.testing.assert_array_equal(np.asarray(a[i]),
+                                          np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(c2[i]), np.asarray(c1[0]))

@@ -55,8 +55,10 @@ def test_rowsharded_matches_single(example_tree, rng, mesh8, is_diag):
     # ICM sweep *order* differs across the shard boundary, so labelings can
     # differ on a handful of boundary-adjacent ambiguous pixels
     assert (lab1 == lab2).mean() > 0.99
+    # bucket stats are per-region (R=1 leading axis); rowsharded stats are
+    # psum'd to (K, ...) for the one region
     for a, b in zip(s1, s2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+        np.testing.assert_allclose(np.asarray(a)[0], np.asarray(b),
                                    rtol=5e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(c1[0]), np.asarray(c2),
                                rtol=5e-3, atol=1e-4)

@@ -119,9 +119,12 @@ def test_expansion_move_is_optimal_bruteforce(rng):
         labels0 = np.where(mask, labels0, 0).astype(np.int32)
         alpha = int(rng.integers(0, K))
 
-        out = np.asarray(expansion_move(
-            jnp.asarray(labels0), jnp.asarray(unary), jnp.asarray(wmaps),
-            jnp.asarray(mask), jnp.int32(alpha), beta))
+        out, n_changed = expansion_move(
+            jnp.asarray(labels0),
+            jnp.asarray(np.transpose(unary, (2, 0, 1))),   # K-major
+            jnp.asarray(wmaps), jnp.asarray(mask), jnp.int32(alpha), beta)
+        out = np.asarray(out)
+        assert int(n_changed) == int((out != labels0).sum())
         e_move = float(potts_energy(jnp.asarray(out), jnp.asarray(unary),
                                     jnp.asarray(wmaps), jnp.asarray(mask),
                                     beta))
@@ -223,3 +226,51 @@ def test_fused_mincut_matches_jnp(rng):
             return c
 
         assert cut_cost(side_b) == pytest.approx(cut_cost(side_a), rel=1e-5)
+
+
+def test_exact_labels_batched_matches_single(rng):
+    """The region-batched optimizer must reach the same (or better) energy
+    as per-region calls: regions share the move schedule, and batch-level
+    pruning can only run MORE moves per region than single-region pruning."""
+    from phylo_hmrf_tpu.ops.maxflow_tpu import (
+        exact_labels, exact_labels_batched)
+
+    H0, K, R, beta, beta1 = 16, 4, 3, 1.0, 0.5
+    regions = []
+    for r_i in range(R):
+        rows, cols = flat_index_order(H0, H0, True)
+        vals = (rng.random((rows.shape[0], 3)) + 0.1).astype(np.float32)
+        regions.append(region_from_samples(vals, H0, H0, True,
+                                           pad_h=4, pad_w=4))
+    unaries, warms, wms = [], [], []
+    for reg in regions:
+        u = np.zeros(reg.shape + (K,), np.float32)
+        u[reg.flat_rows, reg.flat_cols] = rng.random(
+            (reg.n_samples, K)) * 2
+        unaries.append(u)
+        warms.append(reg.labels_to_grid(
+            rng.integers(0, K, reg.n_samples).astype(np.int32)))
+        wms.append(np.asarray(weight_maps(jnp.asarray(reg.dmaps), beta1)))
+
+    singles = [
+        np.asarray(exact_labels(jnp.asarray(u), jnp.asarray(w),
+                                jnp.asarray(reg.mask), jnp.asarray(wa),
+                                beta, K, max_cycles=3))
+        for reg, u, w, wa in zip(regions, unaries, wms, warms)]
+
+    unary_k = jnp.asarray(np.stack(
+        [np.transpose(u, (2, 0, 1)) for u in unaries]))
+    batched = np.asarray(exact_labels_batched(
+        unary_k, jnp.asarray(np.stack(wms)),
+        jnp.asarray(np.stack([reg.mask for reg in regions])),
+        jnp.asarray(np.stack(warms)), beta, K, max_cycles=3))
+
+    for i, reg in enumerate(regions):
+        e_single = float(potts_energy(
+            jnp.asarray(singles[i]), jnp.asarray(unaries[i]),
+            jnp.asarray(wms[i]), jnp.asarray(reg.mask), beta))
+        e_batch = float(potts_energy(
+            jnp.asarray(batched[i]), jnp.asarray(unaries[i]),
+            jnp.asarray(wms[i]), jnp.asarray(reg.mask), beta))
+        assert e_batch <= e_single + 1e-4 + 1e-5 * abs(e_single), (
+            i, e_batch, e_single)

@@ -129,9 +129,11 @@ def test_chr22_labeler_parity_vs_swap(chr22_setup):
 
 
 @pytest.mark.skipif(not native.available(), reason="no native toolchain")
-def test_chr22_full_em_parity(chr22_setup):
+@pytest.mark.parametrize("seed", [0, 1])
+def test_chr22_full_em_parity(chr22_setup, seed):
     """Full-EM parity vs the reference algorithm stack on the FULL 683-bin
-    chr22 region (no crop).
+    chr22 region (no crop). Two seeds so tie-break luck cannot carry the
+    gate (VERDICT r2 item 7).
 
     Two complete EM fits from the identical seeded init: (a) the reference
     semantics — exact C++ alpha-beta swap every iteration
@@ -159,7 +161,7 @@ def test_chr22_full_em_parity(chr22_setup):
     tree, cfg0, regions = chr22_setup
     region = regions[0]
     K = cfg0.n_states
-    kw = dict(n_states=K, max_iter=6, seed=0, mstep_iters=40, min_iter=5,
+    kw = dict(n_states=K, max_iter=6, seed=seed, mstep_iters=40, min_iter=5,
               final_polish=False)
     fits = {}
     for name, labeler in (("oracle", "swap"), ("production", "mf_icm")):
@@ -170,17 +172,20 @@ def test_chr22_full_em_parity(chr22_setup):
     ca = fits["oracle"][1].cost_vec
     cb = fits["production"][1].cost_vec
     n = min(len(ca), len(cb))
-    # 1. trajectory lockstep (measured max |delta| 0.06 over 18 iterations)
-    assert np.abs(cb[:n, 3] - ca[:n, 3]).max() <= 0.15, (ca[:n, 3],
+    # 1. trajectory lockstep (measured max |delta| 0.06 over 18 iterations;
+    #    bound = measured + ~30% headroom, VERDICT r2 item 7)
+    assert np.abs(cb[:n, 3] - ca[:n, 3]).max() <= 0.08, (ca[:n, 3],
                                                          cb[:n, 3])
     # 2. solution quality at the common horizon (production may be better)
     assert cb[n - 1, 3] <= ca[n - 1, 3] + 0.05
     # per-iteration best-match label agreement stays high early on (the
-    # runs have not yet drifted into different basins); record + floor
+    # runs have not yet drifted into different basins); measured 0.88-0.92
     sa, sb = fits["oracle"][1].state_list, fits["production"][1].state_list
     agreements = [best_match_accuracy(sa[i], sb[i]) for i in range(n)]
-    assert min(agreements) >= 0.75, agreements
+    assert min(agreements) >= 0.85, agreements
 
+    if seed != 0:
+        return   # the labeler gate below is seed-independent
     # 3. full-region labeler gate under run (a)'s converged params
     model_a, res_a = fits["oracle"]
     X = region.flat_values().astype(np.float64)
@@ -212,3 +217,92 @@ def test_chr22_full_em_parity(chr22_setup):
     gap = (e_out - e_swap) / abs(e_swap)
     assert gap <= 1e-3, (e_out, e_swap, gap)
     assert agreement >= 0.99, agreement
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_chr22_f64_em_lockstep(chr22_setup):
+    """Exact-vs-fast EM lockstep with precision noise removed (VERDICT r2
+    item 3): both runs in the f64 strict-parity mode — the oracle labels
+    with the exact C++ swap (f64 host unary), the production run with the
+    f64 device mf_icm — so any trajectory gap is labeler-induced, not
+    precision-induced. The f32 bound is 0.08 (test above); f64 must hold a
+    4x tighter 0.02 lockstep."""
+    import jax
+
+    tree, cfg0, regions = chr22_setup
+    kw = dict(n_states=cfg0.n_states, max_iter=6, seed=0, mstep_iters=40,
+              min_iter=5, final_polish=False, dtype="float64",
+              use_pallas="off")
+    try:
+        fits = {}
+        for name, labeler in (("oracle", "swap"), ("f64", "mf_icm")):
+            model = PhyloHMRF(tree, regions,
+                              PhyloHMRFConfig(labeler=labeler, **kw))
+            fits[name] = model.fit(verbose=False, track_states=True)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    ca, cb = fits["oracle"].cost_vec, fits["f64"].cost_vec
+    n = min(len(ca), len(cb))
+    delta = np.abs(cb[:n, 3] - ca[:n, 3]).max()
+    assert delta <= 0.02, (delta, ca[:n, 3], cb[:n, 3])
+    # converged-label basin agreement between the two f64 runs (recorded
+    # in PARITY.md next to the f32 0.88-0.92 measurement)
+    from phylo_hmrf_tpu.utils.metrics import best_match_accuracy
+    agree = best_match_accuracy(fits["oracle"].labels, fits["f64"].labels)
+    assert agree >= 0.85, agree
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_chr22_hybrid_labeler_gap(chr22_setup):
+    """Budgeted hybrid labeler on real weak-unary Hi-C (VERDICT r2 item 2):
+    with mf_icm+swap@2, EVERY iteration's labeling energy must stay within
+    0.5% of the 5000-cycle C++ oracle on the same unary — the periodic
+    exact pass keeps the fast iterations in the exact basin (pure mf_icm
+    leaves 2-4% on these instances)."""
+    from phylo_hmrf_tpu.data.regions import flat_edge_list
+    from phylo_hmrf_tpu.models.hmrf import _gauss_logpdf_np
+
+    tree, cfg0, regions = chr22_setup
+    region = regions[0]
+    K = cfg0.n_states
+    # swap_tpu_cycles=2 keeps the CPU run viable (the measured full-region
+    # cycle curve converges at cycle 2: gap 4.5e-6, PARITY.md)
+    cfg = PhyloHMRFConfig(labeler="mf_icm+swap@2", n_states=K, max_iter=4,
+                          seed=0, mstep_iters=40, min_iter=99,
+                          final_polish=False, threshold=1e-12,
+                          swap_tpu_cycles=2)
+    model = PhyloHMRF(tree, regions, cfg)
+    res = model.fit(verbose=False, track_states=True)
+
+    edges = flat_edge_list(region)
+    w = np.exp(-cfg.beta1 * edges[:, 2])
+    ei = edges[:, :2].astype(np.int64)
+    X = region.flat_values().astype(np.float64)
+
+    params = res.params_list  # (n_iters, K, P) params BEFORE each E-step
+    from phylo_hmrf_tpu.models.ou import ou_moments
+    for it in range(res.n_iters):
+        if it == 0:
+            means, covars = None, None
+            # iteration 0 labels under the k-means init moments
+            model2 = PhyloHMRF(tree, regions, cfg)
+            model2.initialize()
+            means, covars = model2.means_, model2.covars_
+        else:
+            mom = [ou_moments(jnp.asarray(params[it, c]), tree)
+                   for c in range(K)]
+            means = np.stack([np.asarray(m, np.float64) for m, _ in mom])
+            covars = np.stack([np.asarray(V, np.float64)
+                               + cfg.min_covar * np.eye(tree.n_leaves)
+                               for _, V in mom])
+        logprob = np.stack([
+            _gauss_logpdf_np(X, means[c], covars[c], cfg.min_covar)
+            for c in range(K)], axis=1)
+        labels_it = res.state_list[it].astype(np.int32)
+        e_run = native.potts_energy(ei, w, -logprob, cfg.beta, labels_it)
+        oracle = native.potts_swap(ei, w, -logprob, cfg.beta, labels_it,
+                                   5000)
+        e_star = native.potts_energy(ei, w, -logprob, cfg.beta, oracle)
+        gap = (e_run - e_star) / abs(e_star)
+        assert gap <= 5e-3, (it, gap, e_run, e_star)
