@@ -252,17 +252,43 @@ def _plane(unary_k: jnp.ndarray, idx) -> jnp.ndarray:
     return jax.lax.dynamic_index_in_dim(unary_k, idx, axis=0, keepdims=False)
 
 
+def _incident_wsum(wmaps, beta: float):
+    """beta * (sum of the edge weights incident to each pixel): the
+    maximum possible pairwise-energy DECREASE from relabeling that pixel
+    alone. Invalid edges carry weight exactly 0, so masked/border pixels
+    contribute nothing."""
+    s = jnp.zeros_like(wmaps[0])
+    for d in range(4):
+        di, dj = ALL_DIRS[d]
+        s = s + wmaps[d] + _shift_bwd(wmaps[d], di, dj, 0.0)
+    return beta * s
+
+
 def _swap_graph(labels, unary_k, wmaps, mask, a, b, beta: float):
     """Binary min-cut graph of one alpha-beta swap move (single region):
     returns (excess0, cap_t0, caps0, in_play). Pure jnp — safe to vmap
     over a region batch (the cut itself is dispatched separately so the
-    Pallas kernels can carry the batch in their grid)."""
+    Pallas kernels can carry the batch in their grid).
+
+    Dominance (persistency) freezing: a pixel whose unary margin for its
+    CURRENT label strictly beats the total incident pairwise weight keeps
+    that label in every optimal move solution (flipping it back would
+    strictly improve regardless of its neighbors' assignment — the
+    dead-end-elimination argument applies pixel-independently), so it is
+    removed from the cut and handled as a frozen neighbor. On
+    near-converged labelings this shrinks the active cut to the contested
+    boundary pixels and push-relabel converges in a handful of sweeps."""
     in_play = ((labels == a) | (labels == b)) & mask
     u_a = _plane(unary_k, a)
     u_b = _plane(unary_k, b)
 
+    wsum = _incident_wsum(wmaps, beta)
+    keep_a = (labels == a) & ((u_b - u_a) > wsum)
+    keep_b = (labels == b) & ((u_a - u_b) > wsum)
+    in_play = in_play & ~keep_a & ~keep_b
+
     # t-links: c0 = cost(label a), c1 = cost(label b), including frozen
-    # neighbors (labels not in {a, b}) as unary shifts
+    # neighbors (labels not in {a, b} or dominance-frozen) as unary shifts
     c0 = jnp.where(in_play, u_a, 0.0)
     c1 = jnp.where(in_play, u_b, 0.0)
     for d in range(4):
@@ -331,6 +357,16 @@ def _expansion_graph(labels, unary_k, wmaps, mask, alpha, beta: float):
     u_cur = jnp.take_along_axis(unary_k, labels[None].astype(jnp.int32),
                                 axis=0)[0]
 
+    # dominance (persistency) freezing — see `_swap_graph`: a pixel whose
+    # alpha-margin strictly beats its total incident pairwise weight keeps
+    # its label in every optimal expansion; it becomes a frozen neighbor
+    wsum = _incident_wsum(wmaps, beta)
+    in_play = in_play & ~((u_alpha - u_cur) > wsum)
+    # masked-in pixels excluded from the cut but not labeled alpha: their
+    # edges contribute constant shifts (before freezing this class only
+    # held weight-0 edges, so the terms below were vacuous)
+    frozen_cur = mask & (labels != alpha) & ~in_play
+
     c0 = jnp.where(in_play, u_cur, 0.0)     # keep current label
     c1 = jnp.where(in_play, u_alpha, 0.0)   # take alpha
     caps0 = jnp.zeros((8,) + labels.shape, unary_k.dtype)
@@ -340,6 +376,7 @@ def _expansion_graph(labels, unary_k, wmaps, mask, alpha, beta: float):
         nb_lab = _shift_fwd(labels, di, dj, -1)
         nb_play = _shift_fwd(in_play, di, dj, False)
         nb_alpha = _shift_fwd(is_alpha, di, dj, False)
+        nb_froz = _shift_fwd(frozen_cur, di, dj, False)
         both = in_play & nb_play
         same = nb_lab == labels
         c1 = c1 + jnp.where(both & same, lam, 0.0)
@@ -353,6 +390,16 @@ def _expansion_graph(labels, unary_k, wmaps, mask, alpha, beta: float):
         # p frozen at alpha with movable q: q pays lam iff it keeps
         pen_q = jnp.where(is_alpha & nb_play, lam, 0.0)
         c0 = c0 + _neighbor(pen_q, _rev(d), 0.0)
+        # neighbor frozen at its current (non-alpha) label l_q: p pays lam
+        # if it takes alpha (alpha != l_q always), and lam*[l_p != l_q]
+        # if it keeps
+        c1 = c1 + jnp.where(in_play & nb_froz, lam, 0.0)
+        c0 = c0 + jnp.where(in_play & nb_froz & ~same, lam, 0.0)
+        # p frozen at current with movable q (mirror of the above at q)
+        q_c1 = jnp.where(frozen_cur & nb_play, lam, 0.0)
+        c1 = c1 + _neighbor(q_c1, _rev(d), 0.0)
+        q_c0 = jnp.where(frozen_cur & nb_play & ~same, lam, 0.0)
+        c0 = c0 + _neighbor(q_c0, _rev(d), 0.0)
 
     diff = jnp.where(in_play, c1 - c0, 0.0)
     excess0 = jnp.maximum(diff, 0.0)          # S -> p (cut => take alpha)

@@ -46,6 +46,47 @@ def partition_regions(regions, n_processes: int, process_id: int):
     return local, total
 
 
+def _collective(fn, *args):
+    """Run a cross-process collective with an optional watchdog
+    (PHMRF_COLLECTIVE_TIMEOUT_S > 0): a live-but-stuck peer otherwise
+    stalls the allgather forever with no diagnostic. On timeout the
+    process prints a restart hint and HARD-exits (os._exit): elastic
+    recovery is restart-based (resume from the last checkpoint), so a
+    fast loud death IS the detection mechanism — a plain raise would
+    still hang in jax.distributed's atexit barrier against the stuck
+    peer, and the jax collective itself cannot be cancelled."""
+    import os
+
+    t = float(os.environ.get("PHMRF_COLLECTIVE_TIMEOUT_S", "0"))
+    if t <= 0:
+        return fn(*args)
+    import queue
+    import sys
+    import threading
+
+    q = queue.Queue()
+
+    def run():
+        try:
+            q.put((True, fn(*args)))
+        except BaseException as e:   # noqa: BLE001 — relayed to caller
+            q.put((False, e))
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    try:
+        ok, val = q.get(timeout=t)
+    except queue.Empty:
+        print(f"FATAL: cross-process collective timed out after "
+              f"{t:.0f}s — a peer is unresponsive; restart the job to "
+              f"resume from the last checkpoint", file=sys.stderr,
+              flush=True)
+        os._exit(17)
+    if not ok:
+        raise val
+    return val
+
+
 def _allreduce_sum(x: np.ndarray) -> np.ndarray:
     """Sum an identical-shaped host array across all jax processes."""
     import jax
@@ -53,8 +94,8 @@ def _allreduce_sum(x: np.ndarray) -> np.ndarray:
 
     if jax.process_count() == 1:
         return x
-    gathered = multihost_utils.process_allgather(
-        np.asarray(x, np.float64))
+    gathered = _collective(multihost_utils.process_allgather,
+                           np.asarray(x, np.float64))
     return np.sum(gathered, axis=0)
 
 
@@ -128,7 +169,8 @@ class MultiProcessPhyloHMRF(PhyloHMRF):
             for a in (self.params_vec, self.init_ou_params, self.means_,
                       self.covars_):
                 a = np.ascontiguousarray(a)
-                words = multihost_utils.broadcast_one_to_all(
+                words = _collective(
+                    multihost_utils.broadcast_one_to_all,
                     a.reshape(-1).view(np.uint32))
                 synced.append(np.asarray(words, np.uint32)
                               .view(a.dtype).reshape(a.shape))
@@ -222,15 +264,15 @@ def _allgather_ragged(arr: np.ndarray):
 
     if jax.process_count() == 1:
         return [arr]
-    counts = multihost_utils.process_allgather(
-        np.asarray([arr.shape[0]], np.uint32))
+    counts = _collective(multihost_utils.process_allgather,
+                         np.asarray([arr.shape[0]], np.uint32))
     counts = counts.reshape(jax.process_count())
     maxn = int(counts.max())
     pad = np.zeros((maxn,) + arr.shape[1:], arr.dtype)
     pad[:arr.shape[0]] = arr
     words = np.ascontiguousarray(pad).reshape(maxn, -1).view(np.uint32) \
         if maxn else np.zeros((0, 1), np.uint32)
-    gathered = multihost_utils.process_allgather(words)
+    gathered = _collective(multihost_utils.process_allgather, words)
     gathered = np.asarray(gathered, np.uint32)
     out = []
     for p in range(jax.process_count()):

@@ -103,18 +103,24 @@ def restore_model(model, arrays: dict, meta: dict) -> dict:
         raise ValueError(
             f"checkpoint has {n} regions, model has {len(model.regions)} — "
             f"resume needs the same region partition it was saved under")
+    labels_local = []
     for i in range(n):
-        got = arrays[f"labels_local_{i}"].shape
-        want = model.regions[i].shape
-        if tuple(got) != tuple(want):
-            saved = meta.get("config", {})
-            raise ValueError(
-                f"checkpoint region {i} grid shape {tuple(got)} != model "
-                f"{tuple(want)}: padded grid shapes depend on config "
-                f"pad_h/pad_w (checkpoint was saved with "
-                f"pad_h={saved.get('pad_h')}, pad_w={saved.get('pad_w')}) "
-                f"— resume with the same padding config")
-    model.labels_local = [arrays[f"labels_local_{i}"].copy()
-                          for i in range(n)]
+        grid = arrays[f"labels_local_{i}"]
+        r = model.regions[i]
+        if tuple(grid.shape) != tuple(r.shape):
+            # padded grid shapes depend on config pad_h/pad_w; the flat
+            # sample area (H0 x W0) is padding-invariant, so a checkpoint
+            # written under a different padding re-grids losslessly as
+            # long as the unpadded region still fits
+            if grid.shape[0] < r.H0 or grid.shape[1] < r.W0:
+                saved = meta.get("config", {})
+                raise ValueError(
+                    f"checkpoint region {i} grid {tuple(grid.shape)} is "
+                    f"smaller than the region's unpadded {r.H0}x{r.W0} "
+                    f"(saved with pad_h={saved.get('pad_h')}, "
+                    f"pad_w={saved.get('pad_w')}) — not the same dataset?")
+            grid = r.labels_to_grid(grid[r.flat_rows, r.flat_cols])
+        labels_local.append(np.array(grid, copy=True))
+    model.labels_local = labels_local
     model._rng.bit_generator.state = meta["rng_state"]
     return meta["bookkeeping"]

@@ -34,3 +34,13 @@ def example_tree():
 @pytest.fixture()
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-mark the Pallas interpret-mode gates (test_*_pallas.py): CPU
+    interpret execution costs minutes per test. Quick iteration loop:
+    `pytest -m "not slow and not interpret"` (~5 min); CI runs everything.
+    """
+    for item in items:
+        if "_pallas" in os.path.basename(str(item.fspath)):
+            item.add_marker(pytest.mark.interpret)

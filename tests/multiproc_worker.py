@@ -52,11 +52,18 @@ def main():
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--kill-after", type=int, default=0,
                     help="SIGKILL self after this many iterations (pid 0)")
+    ap.add_argument("--stall-after", type=int, default=0,
+                    help="hang (sleep forever) after this many iterations")
+    ap.add_argument("--collective-timeout", type=float, default=0,
+                    help="set PHMRF_COLLECTIVE_TIMEOUT_S for this worker")
     ap.add_argument("--init", choices=["fixed", "kmeans"], default="fixed")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    if args.collective_timeout:
+        os.environ["PHMRF_COLLECTIVE_TIMEOUT_S"] = str(
+            args.collective_timeout)
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     import jax
@@ -108,6 +115,9 @@ def main():
     def cb(m, it, cost_row, grids):
         if kill_after and args.pid == 0 and it + 1 >= kill_after:
             os.kill(os.getpid(), signal.SIGKILL)
+        if args.stall_after and it + 1 >= args.stall_after:
+            import time
+            time.sleep(3600)
 
     result = model.fit(verbose=False, checkpoint_path=ckpt,
                        checkpoint_every=2, callback=cb)

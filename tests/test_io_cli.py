@@ -259,12 +259,11 @@ def test_cli_10kb_resolution(tmp_path, rng):
     assert (out / "lenvec.10Kb.observed.0.txt").exists()
 
 
-def test_checkpoint_pad_mismatch_errors(example_tree, rng, tmp_path):
-    """Resuming under a different pad_h/pad_w must fail loudly with a
-    message naming the padding config (ADVICE r2: the r2 pad_h default
-    change 8->32 silently invalidated older checkpoints)."""
-    import pytest
-
+def test_checkpoint_pad_mismatch_regrids(example_tree, rng, tmp_path):
+    """Resuming under a different pad_h/pad_w re-grids the saved labels
+    through the padding-invariant flat sample area instead of failing
+    (ADVICE r2: the r2 pad_h default change 8->32 silently invalidated
+    older checkpoints)."""
     ck = str(tmp_path / "ck.npz")
     _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
     kw = dict(final_polish=False, n_states=3, seed=1, mstep_iters=20,
@@ -272,10 +271,9 @@ def test_checkpoint_pad_mismatch_errors(example_tree, rng, tmp_path):
     m1 = PhyloHMRF(example_tree, regions, PhyloHMRFConfig(pad_h=8, pad_w=8,
                                                           **kw))
     m1.fit(verbose=False, checkpoint_path=ck, checkpoint_every=1)
+    saved_flat = [r.labels_to_flat(g)
+                  for r, g in zip(m1.regions, m1.labels_local)]
 
-    _, _, _, regions16, _ = synth_problem(example_tree,
-                                          np.random.default_rng(0), K=3,
-                                          H0=16)
     # rebuild the same data under a different padding config
     from phylo_hmrf_tpu.data.regions import region_from_samples
     regions2 = [region_from_samples(r.flat_values(), *[
@@ -284,5 +282,18 @@ def test_checkpoint_pad_mismatch_errors(example_tree, rng, tmp_path):
         for r in regions]
     m2 = PhyloHMRF(example_tree, regions2,
                    PhyloHMRFConfig(pad_h=16, pad_w=16, **kw))
-    with pytest.raises(ValueError, match="pad_h"):
-        m2.fit(verbose=False, checkpoint_path=ck, resume=True)
+    # restore directly: the re-gridded warm labels must carry the exact
+    # flat labeling across the padding change
+    from phylo_hmrf_tpu.utils import checkpoint as ckpt
+    arrays, meta = ckpt.load_checkpoint(ck)
+    ckpt.restore_model(m2, arrays, meta)
+    for r, g, flat in zip(m2.regions, m2.labels_local, saved_flat):
+        assert g.shape == r.shape
+        np.testing.assert_array_equal(r.labels_to_flat(g), flat)
+
+    # and a resumed fit keeps running from there
+    m3 = PhyloHMRF(example_tree, regions2,
+                   PhyloHMRFConfig(pad_h=16, pad_w=16, **{
+                       **kw, "max_iter": 3}))
+    r3 = m3.fit(verbose=False, checkpoint_path=ck, resume=True)
+    assert r3.n_iters == 3 and np.isfinite(r3.cost_vec).all()

@@ -274,3 +274,72 @@ def test_exact_labels_batched_matches_single(rng):
             jnp.asarray(wms[i]), jnp.asarray(reg.mask), beta))
         assert e_batch <= e_single + 1e-4 + 1e-5 * abs(e_single), (
             i, e_batch, e_single)
+
+
+def test_dominance_freezing_exact(rng):
+    """Dominance (persistency) freezing prunes pixels from the move cuts;
+    the moves must stay exactly optimal. Strong unaries (freezing fires on
+    most pixels) x brute force over all labelings on a small grid."""
+    from phylo_hmrf_tpu.ops.maxflow_tpu import expansion_move, swap_move
+
+    H = W = 3
+    K = 3
+    beta = 0.7
+    for trial in range(6):
+        unary = rng.random((H, W, K)).astype(np.float32)
+        # make some pixels strongly opinionated so the margin test fires
+        strong = rng.random((H, W)) < 0.6
+        fav = rng.integers(0, K, (H, W))
+        for k in range(K):
+            unary[..., k] = np.where(strong & (fav == k), unary[..., k],
+                                     unary[..., k] + 50.0 * strong)
+        wmaps = np.ones((4, H, W), np.float32)
+        mask = np.ones((H, W), bool)
+        labels0 = rng.integers(0, K, (H, W)).astype(np.int32)
+        unary_k = jnp.asarray(np.transpose(unary, (2, 0, 1)))
+
+        def energy(lab):
+            e = float(np.sum(unary[np.arange(H)[:, None],
+                                   np.arange(W)[None], lab]))
+            e += beta * float((lab[:, :-1] != lab[:, 1:]).sum()
+                              + (lab[:-1] != lab[1:]).sum()
+                              + (lab[:-1, :-1] != lab[1:, 1:]).sum()
+                              + (lab[:-1, 1:] != lab[1:, :-1]).sum())
+            return e
+
+        alpha = int(rng.integers(0, K))
+        out, _ = expansion_move(jnp.asarray(labels0), unary_k,
+                                jnp.asarray(wmaps), jnp.asarray(mask),
+                                jnp.int32(alpha), beta)
+        out = np.asarray(out)
+        # brute force over the expansion move space
+        import itertools
+        best = None
+        movable = [(i, j) for i in range(H) for j in range(W)
+                   if labels0[i, j] != alpha]
+        for bits in itertools.product([0, 1], repeat=len(movable)):
+            lab = labels0.copy()
+            for (i, j), s in zip(movable, bits):
+                if s:
+                    lab[i, j] = alpha
+            e = energy(lab)
+            if best is None or e < best:
+                best = e
+        assert energy(out) == pytest.approx(best, abs=1e-3), trial
+
+        a, b = 0, 1
+        out2, _ = swap_move(jnp.asarray(labels0), unary_k,
+                            jnp.asarray(wmaps), jnp.asarray(mask),
+                            jnp.int32(a), jnp.int32(b), beta)
+        out2 = np.asarray(out2)
+        movable = [(i, j) for i in range(H) for j in range(W)
+                   if labels0[i, j] in (a, b)]
+        best = None
+        for bits in itertools.product([0, 1], repeat=len(movable)):
+            lab = labels0.copy()
+            for (i, j), s in zip(movable, bits):
+                lab[i, j] = a if s else b
+            e = energy(lab)
+            if best is None or e < best:
+                best = e
+        assert energy(out2) == pytest.approx(best, abs=1e-3), trial
