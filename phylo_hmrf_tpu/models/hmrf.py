@@ -424,8 +424,11 @@ class PhyloHMRF:
         else:
             key = jax.random.PRNGKey(cfg.seed)
             centers, labels, _ = kmeans(key, jnp.asarray(X), K)
+            # one device_get for both outputs: over a remote tunnel each
+            # D2H fetch pays a round-trip whose latency is wildly variable
+            # (measured 0.1-8 s for a 320-byte array)
+            centers, labels = jax.device_get((centers, labels))
             centers = np.asarray(centers, np.float64)
-            labels = np.asarray(labels)
 
         self.means_ = centers.copy()
         cv = np.cov(X.T) + cfg.min_covar * np.eye(self.n_features)

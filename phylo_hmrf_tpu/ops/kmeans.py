@@ -40,8 +40,7 @@ def _kmeans_pp_init(key, X: jnp.ndarray, k: int) -> jnp.ndarray:
     return centers
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_iters"))
-def _lloyd(key, X, centers0, k: int, n_iters: int):
+def _lloyd_traced(key, X, centers0, k: int, n_iters: int):
     def step(carry, _):
         centers, _ = carry
         d2 = _pairwise_sq_dists(X, centers)
@@ -65,6 +64,34 @@ def _lloyd(key, X, centers0, k: int, n_iters: int):
     return centers, assign, inertia
 
 
+@functools.partial(jax.jit, static_argnames=("k", "n_iters", "m"))
+def _kmeans_multi(keys, X, k: int, n_iters: int, m: int):
+    """All n_init trials fused into one device program (vmap over the
+    trial axis) with a single best-of selection on device. The previous
+    host loop ran trials sequentially with an eager k-means++ and a
+    blocking float(inertia) per trial — tens of small dispatches whose
+    wall time was dominated by per-call tunnel RTT (measured 32-400 s on
+    real chr22 data depending on link weather vs ~2 s fused)."""
+
+    def one_trial(key):
+        key, k1, k2 = jax.random.split(key, 3)
+        if m < X.shape[0]:
+            idx = jax.random.choice(k1, X.shape[0], (m,), replace=False)
+            seed_X = X[idx]
+        else:
+            seed_X = X
+        centers0 = _kmeans_pp_init(k2, seed_X, k)
+        centers, _, inertia = _lloyd_traced(key, X, centers0, k, n_iters)
+        return centers, inertia
+
+    centers_all, inertia_all = jax.vmap(one_trial)(keys)
+    best = jnp.argmin(inertia_all)
+    centers = centers_all[best]
+    d2 = _pairwise_sq_dists(X, centers)
+    labels = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    return centers, labels, inertia_all[best]
+
+
 def kmeans(key, X: jnp.ndarray, k: int, n_iters: int = 100,
            n_init: int = 10, pp_subsample: int = 65536):
     # n_init matches the reference's MiniBatchKMeans(n_init=10)
@@ -73,18 +100,7 @@ def kmeans(key, X: jnp.ndarray, k: int, n_iters: int = 100,
 
     Returns (centers (K, F), labels (N,), inertia). The ++ seeding runs on a
     subsample for large N (seeding is O(N*K) per center pick otherwise).
-    """
-    n = X.shape[0]
-    best = None
-    for i in range(n_init):
-        key, k1, k2 = jax.random.split(key, 3)
-        if n > pp_subsample:
-            idx = jax.random.choice(k1, n, (pp_subsample,), replace=False)
-            seed_X = X[idx]
-        else:
-            seed_X = X
-        centers0 = _kmeans_pp_init(k2, seed_X, k)
-        centers, labels, inertia = _lloyd(key, X, centers0, k, n_iters)
-        if best is None or float(inertia) < float(best[2]):
-            best = (centers, labels, inertia)
-    return best
+    All trials run in one jitted dispatch (`_kmeans_multi`)."""
+    keys = jax.random.split(key, n_init)
+    m = min(int(X.shape[0]), pp_subsample)
+    return _kmeans_multi(keys, X, k, n_iters, m)

@@ -180,7 +180,10 @@ def test_warm_cache_hits_on_reconstructed_list(example_tree, rng):
 
 def test_hybrid_labeler(example_tree, rng):
     """mf_icm+swap@2 runs an exact pass on even iterations (and on cost
-    stalls) and must do at least as well as pure mf_icm at the horizon."""
+    stalls); at iteration 0, where both models carry identical init
+    params, the exact pass must reach energy <= mf_icm's (the true
+    per-iteration invariant — after M-steps the trajectories diverge and
+    no horizon-level ordering is guaranteed)."""
     _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
     kw = dict(final_polish=False, n_states=3, max_iter=4, seed=1,
               mstep_iters=20, pad_h=8, pad_w=8, min_iter=99,
@@ -196,11 +199,39 @@ def test_hybrid_labeler(example_tree, rng):
     # iterations 0 and 2 exact (no stall triggers expected in 4 iters)
     assert len(calls) >= 2 and all(c == "swap" for c in calls)
 
-    plain = PhyloHMRF(example_tree, regions,
-                      PhyloHMRFConfig(labeler="mf_icm", **kw)
-                      ).fit(verbose=False)
-    n = min(res.n_iters, plain.n_iters)
-    assert res.cost_vec[n - 1, 3] <= plain.cost_vec[n - 1, 3] + 1e-3
+    assert np.isfinite(res.cost_vec[:res.n_iters]).all()
+
+    # the true per-iteration invariant: at IDENTICAL params, the exact
+    # pass reaches MRF energy <= mf_icm's (cost1 can't be compared — its
+    # pairwise term is normalized, not the raw energy the cut minimizes)
+    import jax.numpy as jnp
+    from phylo_hmrf_tpu.models.emission import gaussian_logpdf
+    from phylo_hmrf_tpu.ops.potts import potts_energy, weight_maps
+
+    m_ex = PhyloHMRF(example_tree, regions,
+                     PhyloHMRFConfig(labeler="mf_icm+swap@2", **kw))
+    m_ex.initialize()
+    warm = [g.copy() for g in m_ex.labels_local]
+    grids_ex, _, _, _ = m_ex.estep(m_ex.means_, m_ex.covars_,
+                                   [g.copy() for g in warm],
+                                   exact_method="swap")
+    grids_mf, _, _, _ = m_ex.estep(m_ex.means_, m_ex.covars_,
+                                   [g.copy() for g in warm])
+
+    def energy(grids):
+        e = 0.0
+        for reg, grid in zip(m_ex.regions, grids):
+            unary = -gaussian_logpdf(
+                jnp.asarray(reg.img),
+                jnp.asarray(m_ex.means_, jnp.float32),
+                jnp.asarray(m_ex.covars_, jnp.float32))
+            wm = weight_maps(jnp.asarray(reg.dmaps), m_ex.cfg.beta1)
+            e += float(potts_energy(jnp.asarray(np.asarray(grid)), unary,
+                                    wm, jnp.asarray(reg.mask),
+                                    m_ex.cfg.beta))
+        return e
+
+    assert energy(grids_ex) <= energy(grids_mf) + 1e-3
 
 
 def test_hybrid_labeler_config_validation():
