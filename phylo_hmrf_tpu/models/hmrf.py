@@ -527,41 +527,18 @@ class PhyloHMRF:
         means_j = jnp.asarray(means, self._dtype)
         covars_j = jnp.asarray(covars, self._dtype)
 
-        if self._spatial:
-            from jax.sharding import NamedSharding, PartitionSpec
-            rows = NamedSharding(self.mesh, PartitionSpec("data"))
-            for ri, (img, mask, dmaps) in enumerate(self._spatial_arrays):
-                warm = jax.device_put(jnp.asarray(warm_grids[ri]), rows)
-                labels, (p, o, o2), cv, nv = self._spatial_estep(
-                    img, mask, dmaps, warm, means_j, covars_j,
-                    self._beta, self._beta1)
-                post[ri] = np.asarray(p, np.float64).reshape(K)
-                obs[ri] = np.asarray(o, np.float64).reshape(K, F)
-                obs2[ri] = np.asarray(o2, np.float64).reshape(K, F, F)
-                costs[ri] = np.asarray(cv, np.float64)
-                nvalid[ri] = float(nv)
-                label_grids[ri] = np.asarray(labels)
-            return label_grids, (post, obs, obs2), costs, nvalid
+        # All stats fetches are deferred and shipped host-side in ONE
+        # device_get at the end of the bucket loop: a per-bucket
+        # np.asarray both pays a D2H round-trip per array (the remote
+        # tunnel's RTT is wildly variable, 1 ms-seconds) and serializes
+        # the next bucket's dispatch behind the previous bucket's fetch.
+        # Values are bitwise identical either way — the host-side f64
+        # widening and region-order reduction are unchanged.
+        pending = []
 
-        if cfg.labeler in ("swap_tpu", "expansion_tpu"):
-            exact_method = ("expansion" if cfg.labeler == "expansion_tpu"
-                            else "swap")
-        if exact_method is not None:
-            label_grids = self._exact_labels_all(
-                means_j, covars_j, warm_grids, method=exact_method)
-            for shape, (idxs, img, mask, dmaps) in \
-                    self._bucket_arrays.items():
-                labels_np = np.stack([label_grids[i] for i in idxs])
-                r_pad = img.shape[0] - labels_np.shape[0]
-                if r_pad > 0:
-                    labels_np = np.concatenate(
-                        [labels_np, np.zeros((r_pad,) + labels_np.shape[1:],
-                                             labels_np.dtype)], axis=0)
-                (p, o, o2), cv, nv = _FINISH_JIT(
-                    img, mask, dmaps, jnp.asarray(labels_np), means_j,
-                    covars_j, self._beta, self._beta1,
-                    weighted_pp=(cfg.estimate_type == 3),
-                    use_pallas=self._use_pallas)
+        def _scatter_pending():
+            got = jax.device_get([t[1:] for t in pending])
+            for (idxs, *_), (p, o, o2, cv, nv) in zip(pending, got):
                 p, o, o2 = (np.asarray(p, np.float64),
                             np.asarray(o, np.float64),
                             np.asarray(o2, np.float64))
@@ -571,6 +548,60 @@ class PhyloHMRF:
                     post[ri], obs[ri], obs2[ri] = p[bi], o[bi], o2[bi]
                     costs[ri] = cv[bi]
                     nvalid[ri] = nv[bi]
+
+        if self._spatial:
+            from jax.sharding import NamedSharding, PartitionSpec
+            rows = NamedSharding(self.mesh, PartitionSpec("data"))
+            for ri, (img, mask, dmaps) in enumerate(self._spatial_arrays):
+                warm = jax.device_put(jnp.asarray(warm_grids[ri]), rows)
+                labels, (p, o, o2), cv, nv = self._spatial_estep(
+                    img, mask, dmaps, warm, means_j, covars_j,
+                    self._beta, self._beta1)
+                pending.append(([ri], p.reshape(1, K), o.reshape(1, K, F),
+                                o2.reshape(1, K, F, F), cv.reshape(1, 4),
+                                nv.reshape(1)))
+                label_grids[ri] = labels
+            _scatter_pending()
+            return label_grids, (post, obs, obs2), costs, nvalid
+
+        if cfg.labeler in ("swap_tpu", "expansion_tpu"):
+            exact_method = ("expansion" if cfg.labeler == "expansion_tpu"
+                            else "swap")
+        if exact_method is not None:
+            label_grids, dev_buckets = self._exact_labels_all(
+                means_j, covars_j, warm_grids, method=exact_method,
+                return_buckets=True)
+            for shape, (idxs, img, mask, dmaps) in \
+                    self._bucket_arrays.items():
+                if dev_buckets is not None:
+                    # labels never leave the device: the bucket tensor
+                    # from the batched cut feeds the finish kernel as-is
+                    # (single-shard buckets carry no device padding, so
+                    # its region axis already matches img's)
+                    labels_j = dev_buckets[shape]
+                else:
+                    labels_np = np.stack([np.asarray(label_grids[i])
+                                          for i in idxs])
+                    r_pad = img.shape[0] - labels_np.shape[0]
+                    if r_pad > 0:
+                        labels_np = np.concatenate(
+                            [labels_np,
+                             np.zeros((r_pad,) + labels_np.shape[1:],
+                                      labels_np.dtype)], axis=0)
+                    labels_j = jnp.asarray(labels_np)
+                (p, o, o2), cv, nv = _FINISH_JIT(
+                    img, mask, dmaps, labels_j, means_j,
+                    covars_j, self._beta, self._beta1,
+                    weighted_pp=(cfg.estimate_type == 3),
+                    use_pallas=self._use_pallas)
+                pending.append((idxs, p, o, o2, cv, nv))
+                if dev_buckets is not None:
+                    # exact labels warm-start the next fast iteration
+                    # device-resident, like the fast path's cache
+                    self._dev_warm[shape] = (
+                        tuple(label_grids[ri] for ri in idxs),
+                        dev_buckets[shape])
+            _scatter_pending()
             return label_grids, (post, obs, obs2), costs, nvalid
 
         for shape, (idxs, img, mask, dmaps) in self._bucket_arrays.items():
@@ -628,25 +659,19 @@ class PhyloHMRF:
                     max_sweeps=cfg.icm_max_sweeps,
                     use_pallas=self._use_pallas)
                 out_labels = labels_j
-            p, o, o2 = (np.asarray(p, np.float64),
-                        np.asarray(o, np.float64),
-                        np.asarray(o2, np.float64))
-            cv = np.asarray(cv, np.float64)
-            nv = np.asarray(nv, np.float64)
+            pending.append((idxs, p, o, o2, cv, nv))
             for bi, ri in enumerate(idxs):
-                post[ri], obs[ri], obs2[ri] = p[bi], o[bi], o2[bi]
-                costs[ri] = cv[bi]
-                nvalid[ri] = nv[bi]
                 # defer the device->host copy: consumers (.mat export,
                 # checkpoints, track_states) convert lazily via __array__
                 label_grids[ri] = out_labels[bi]
             if isinstance(out_labels, jnp.ndarray):
                 self._dev_warm[shape] = (
                     tuple(label_grids[ri] for ri in idxs), out_labels)
+        _scatter_pending()
         return label_grids, (post, obs, obs2), costs, nvalid
 
     def _exact_labels_all(self, means_j, covars_j, warm_grids,
-                          method: str = "swap"):
+                          method: str = "swap", return_buckets: bool = False):
         """Exact on-device labeling (mean field + ICM + parallel-push-relabel
         alpha-beta swap or alpha-expansion) for every region.
 
@@ -662,6 +687,7 @@ class PhyloHMRF:
         cfg = self.cfg
         out = [None] * len(self.regions)
         if self._n_shards == 1:
+            buckets = {}
             for shape, (idxs, img, mask, dmaps) in \
                     self._bucket_arrays.items():
                 unary_k = _UNARY_KMAJOR_JIT(img, means_j, covars_j)
@@ -673,9 +699,12 @@ class PhyloHMRF:
                     max_cycles=cfg.swap_tpu_cycles,
                     icm_max_sweeps=cfg.icm_max_sweeps, method=method,
                     use_pallas=self._use_pallas)
-                labels_np = np.asarray(labels)
+                buckets[shape] = labels
                 for bi, ri in enumerate(idxs):
-                    out[ri] = labels_np[bi]
+                    # device views; consumers convert lazily via __array__
+                    out[ri] = labels[bi]
+            if return_buckets:
+                return out, buckets
             return out
         for ri, r in enumerate(self.regions):
             unary = _UNARY_JIT(jnp.asarray(r.img, self._dtype), means_j,
@@ -688,6 +717,8 @@ class PhyloHMRF:
                                   icm_max_sweeps=cfg.icm_max_sweeps,
                                   method=method)
             out[ri] = np.asarray(labels)
+        if return_buckets:
+            return out, None   # sharded path: no bucket-batched tensors
         return out
 
     def _swap_labels(self, idxs, means, covars, warm_grids,
