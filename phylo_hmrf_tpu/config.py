@@ -90,6 +90,15 @@ class PhyloHMRFConfig:
                                        # -4.2e-7 (below the oracle) at
                                        # 99.96% agreement; converged from
                                        # cycle 4 on (PARITY.md)
+    hybrid_exact_hi: float = 0.05      # hybrid labelers only: run the exact
+                                       # pass whenever the previous
+                                       # iteration's relative cost1 change
+                                       # exceeds this (trajectory still in
+                                       # motion), in addition to the
+                                       # periodic and stall triggers. The
+                                       # fast labeler's gap vs exact cuts
+                                       # concentrates in moving iterations
+                                       # (tests/test_real_data.py)
     icm_max_sweeps: int = 60           # upper bound on checkerboard ICM sweeps per E-step
     swap_max_cycles: int = 5000        # C++ swap backend cycle budget (parity
                                        # with the reference graph-cut budget)

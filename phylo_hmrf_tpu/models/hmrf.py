@@ -897,15 +897,26 @@ class PhyloHMRF:
                      / self.n_samples_total)
 
         d3_prev = np.inf
+        self.hybrid_exact_iters_ = []
         for it in range(it_start, cfg.max_iter):
             exact_method = None
             if self._hybrid is not None:
                 method, period = self._hybrid
-                # periodic exact pass, plus one whenever cost1 improvement
-                # stalls (within 10x of the stop threshold) so the run
-                # cannot converge onto the weak labeler's fixed point
-                if it % period == 0 or d3_prev < 10 * cfg.threshold:
+                # exact pass when (a) the period comes up, (b) cost1
+                # improvement stalls (within 10x of the stop threshold) so
+                # the run cannot converge onto the weak labeler's fixed
+                # point, or (c) the trajectory is still moving fast
+                # (relative cost1 change above hybrid_exact_hi): the fast
+                # labeler's drift vs exact cuts is largest exactly while
+                # the params are in motion (measured 4.7% shifted-energy
+                # gap at a moving iteration vs <=0.1% in the plateau on
+                # real chr22 — tests/test_real_data.py), so moving
+                # iterations get the exact move-making and the cheap path
+                # is reserved for the plateau where it matches
+                if (it % period == 0 or d3_prev < 10 * cfg.threshold
+                        or d3_prev > cfg.hybrid_exact_hi):
                     exact_method = method
+                    self.hybrid_exact_iters_.append(it)
             t0 = time.time()
             with self.timer.phase("estep"):
                 label_grids, stats, costs, _ = self.estep(

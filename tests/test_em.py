@@ -196,8 +196,11 @@ def test_hybrid_labeler(example_tree, rng):
     model._exact_labels_all = (
         lambda *a, **k: calls.append(k.get("method")) or orig(*a, **k))
     res = model.fit(verbose=False)
-    # iterations 0 and 2 exact (no stall triggers expected in 4 iters)
+    # iterations 0 and 2 exact via the period; the stall and fast-motion
+    # (hybrid_exact_hi) triggers may add more
     assert len(calls) >= 2 and all(c == "swap" for c in calls)
+    assert model.hybrid_exact_iters_[: 1] == [0]
+    assert set(model.hybrid_exact_iters_) >= {0, 2}
 
     assert np.isfinite(res.cost_vec[:res.n_iters]).all()
 
