@@ -220,6 +220,26 @@ def _finish_bucket(img, mask, dmaps, labels, means, covars, beta, beta1, *,
 # argument, so every PhyloHMRF instance in a process shares compiled kernels.
 # ---------------------------------------------------------------------------
 
+def _map_buckets(fn, items):
+    """Run ``fn(*item)`` over shape buckets, threaded when there are
+    several.
+
+    XLA compiles lazily, per (shape, K) signature, largely single-threaded
+    per program — an all-chromosome run has ~22 distinct region shapes, so
+    a cold start otherwise pays ~22 serial compiles. Compilation releases
+    the GIL, so plain threads overlap them. Warm calls gain too: one
+    bucket's host-side cycle syncs (exact move-making) no longer serialize
+    the next bucket's dispatch chain. Results come back in input order and
+    every shared-state update stays on the calling thread, so results and
+    trajectories are unchanged."""
+    items = list(items)
+    if len(items) <= 1:
+        return [fn(*it) for it in items]
+    import concurrent.futures as cf
+    with cf.ThreadPoolExecutor(max_workers=min(len(items), 16)) as ex:
+        return list(ex.map(lambda it: fn(*it), items))
+
+
 _ESTEP_JIT = jax.jit(_estep_bucket, static_argnames=(
     "weighted_pp", "labeler", "max_sweeps", "use_pallas"))
 _FINISH_JIT = jax.jit(_finish_bucket, static_argnames=("weighted_pp", "use_pallas"))
@@ -604,7 +624,7 @@ class PhyloHMRF:
             _scatter_pending()
             return label_grids, (post, obs, obs2), costs, nvalid
 
-        for shape, (idxs, img, mask, dmaps) in self._bucket_arrays.items():
+        def one_bucket(shape, idxs, img, mask, dmaps):
             # warm labels stay on device across iterations: when the warm
             # source is the previous E-step's own output list (the common
             # case — fit warm-starts from the best-so-far labels, which is
@@ -614,10 +634,10 @@ class PhyloHMRF:
             # tunnel at canonical scale: ~16 MB/iteration)
             cached = self._dev_warm.get(shape)
             r_pad = img.shape[0] - len(idxs)
-            if cached is not None and all(
-                    warm_grids[ri] is e for ri, e in zip(idxs, cached[0])):
+            hit = cached is not None and all(
+                warm_grids[ri] is e for ri, e in zip(idxs, cached[0]))
+            if hit:
                 warm = cached[1]
-                self._dev_warm_hits += 1
             else:
                 warm_np = np.stack([np.asarray(warm_grids[i])
                                     for i in idxs])
@@ -659,7 +679,16 @@ class PhyloHMRF:
                     max_sweeps=cfg.icm_max_sweeps,
                     use_pallas=self._use_pallas)
                 out_labels = labels_j
-            pending.append((idxs, p, o, o2, cv, nv))
+            return hit, (idxs, p, o, o2, cv, nv), out_labels
+
+        results = _map_buckets(
+            one_bucket,
+            [(shape, *arrs) for shape, arrs in self._bucket_arrays.items()])
+        # shared-state updates on the calling thread, in bucket order
+        for (shape, (idxs, *_)), (hit, pend, out_labels) in zip(
+                self._bucket_arrays.items(), results):
+            self._dev_warm_hits += int(hit)
+            pending.append(pend)
             for bi, ri in enumerate(idxs):
                 # defer the device->host copy: consumers (.mat export,
                 # checkpoints, track_states) convert lazily via __array__
@@ -687,18 +716,24 @@ class PhyloHMRF:
         cfg = self.cfg
         out = [None] * len(self.regions)
         if self._n_shards == 1:
-            buckets = {}
-            for shape, (idxs, img, mask, dmaps) in \
-                    self._bucket_arrays.items():
+            def one_bucket(shape, idxs, img, mask, dmaps):
                 unary_k = _UNARY_KMAJOR_JIT(img, means_j, covars_j)
                 wm = weight_maps(dmaps, cfg.beta1)
                 warm = jnp.stack([jnp.asarray(warm_grids[i])
                                   for i in idxs]).astype(jnp.int32)
-                labels = exact_labels_batched(
+                return exact_labels_batched(
                     unary_k, wm, mask, warm, cfg.beta, self.n_states,
                     max_cycles=cfg.swap_tpu_cycles,
                     icm_max_sweeps=cfg.icm_max_sweeps, method=method,
                     use_pallas=self._use_pallas)
+
+            labels_all = _map_buckets(
+                one_bucket,
+                [(shape, *arrs)
+                 for shape, arrs in self._bucket_arrays.items()])
+            buckets = {}
+            for (shape, (idxs, *_)), labels in zip(
+                    self._bucket_arrays.items(), labels_all):
                 buckets[shape] = labels
                 for bi, ri in enumerate(idxs):
                     # device views; consumers convert lazily via __array__
