@@ -322,3 +322,41 @@ def test_bucket_batching_bitwise_stable(example_tree, rng):
             np.testing.assert_array_equal(np.asarray(a[i]),
                                           np.asarray(b[0]))
         np.testing.assert_array_equal(np.asarray(c2[i]), np.asarray(c1[0]))
+
+
+def test_threaded_buckets_match_serial(example_tree, rng):
+    """The threaded per-bucket dispatch (hmrf._map_buckets) must produce
+    bitwise-identical labels/stats/costs to a serial bucket loop, for both
+    the fast path and the exact move-making path (the two synth regions
+    have different shapes, so both land in distinct buckets)."""
+    import phylo_hmrf_tpu.models.hmrf as H
+
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
+    kw = dict(final_polish=False, n_states=3, max_iter=2, seed=1,
+              mstep_iters=10, pad_h=8, pad_w=8)
+
+    def run(serial, exact_method):
+        model = PhyloHMRF(example_tree, regions,
+                          PhyloHMRFConfig(labeler="mf_icm", **kw))
+        model.initialize()
+        assert len(model._bucket_arrays) == 2
+        orig = H._map_buckets
+        if serial:
+            H._map_buckets = lambda fn, items: [fn(*it) for it in items]
+        try:
+            out = model.estep(model.means_, model.covars_,
+                              model.labels_local,
+                              exact_method=exact_method)
+        finally:
+            H._map_buckets = orig
+        return out
+
+    for exact_method in (None, "swap"):
+        lab_t, st_t, c_t, nv_t = run(False, exact_method)
+        lab_s, st_s, c_s, nv_s = run(True, exact_method)
+        for a, b in zip(lab_t, lab_s):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(st_t, st_s):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(c_t, c_s)
+        np.testing.assert_array_equal(nv_t, nv_s)
