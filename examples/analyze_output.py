@@ -48,6 +48,15 @@ def main(argv=None):
     len_vec = np.asarray(m["len_vec"], dtype=np.int64)
     K = int(np.asarray(m["params_vec1"]).shape[0])
     chroms = sorted(set(int(r[9]) for r in len_vec))
+    for row in len_vec:
+        n, H0, W0, is_diag = int(row[0]), int(row[3]), int(row[4]), row[8]
+        dense = H0 * (H0 + 1) // 2 if is_diag else H0 * W0
+        if n != dense:
+            raise SystemExit(
+                f"region {int(row[7])}: {n} samples != dense grid size "
+                f"{dense} — this estimate was fitted with "
+                f"mask_mode='observed'; the grid reconstruction here "
+                f"assumes the default structural mask")
     os.makedirs(args.out, exist_ok=True)
 
     # state occupancy (reference cnt_estimate)

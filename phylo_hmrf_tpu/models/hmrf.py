@@ -932,23 +932,31 @@ class PhyloHMRF:
                      / self.n_samples_total)
 
         d3_prev = np.inf
+        if it_start > 0 and len(cost_rows) >= 2:
+            # recompute the last relative cost1 change so a resumed hybrid
+            # run makes the same exact-vs-fast decision the uninterrupted
+            # run would (d3_prev = inf here would force an exact pass at
+            # the resume iteration and fork the trajectory)
+            c_prev, c_last = cost_rows[-2][3], cost_rows[-1][3]
+            d3_prev = abs((c_last - c_prev) / c_prev)
         self.hybrid_exact_iters_ = []
         for it in range(it_start, cfg.max_iter):
             exact_method = None
             if self._hybrid is not None:
                 method, period = self._hybrid
                 # exact pass when (a) the period comes up, (b) cost1
-                # improvement stalls (within 10x of the stop threshold) so
-                # the run cannot converge onto the weak labeler's fixed
-                # point, or (c) the trajectory is still moving fast
-                # (relative cost1 change above hybrid_exact_hi): the fast
-                # labeler's drift vs exact cuts is largest exactly while
-                # the params are in motion (measured 4.7% shifted-energy
-                # gap at a moving iteration vs <=0.1% in the plateau on
-                # real chr22 — tests/test_real_data.py), so moving
-                # iterations get the exact move-making and the cheap path
-                # is reserved for the plateau where it matches
-                if (it % period == 0 or d3_prev < 10 * cfg.threshold
+                # improvement is about to satisfy the stop rule (within 3x
+                # of the threshold) so the run cannot converge onto the
+                # weak labeler's fixed point, or (c) the trajectory is
+                # still moving fast (relative cost1 change above
+                # hybrid_exact_hi): the fast labeler's drift vs exact cuts
+                # is largest exactly while the params are in motion
+                # (measured 4.7% shifted-energy gap at a moving iteration
+                # vs <=0.1% in the plateau on real chr22 —
+                # tests/test_real_data.py). The cheap path serves the
+                # plateau band threshold*3 < d3 < hybrid_exact_hi, plus
+                # whatever the period skips
+                if (it % period == 0 or d3_prev < 3 * cfg.threshold
                         or d3_prev > cfg.hybrid_exact_hi):
                     exact_method = method
                     self.hybrid_exact_iters_.append(it)

@@ -174,6 +174,42 @@ def test_resume_matches_uninterrupted(example_tree, rng, tmp_path):
     np.testing.assert_allclose(r_full.params_vec1, r_res.params_vec1)
 
 
+def test_hybrid_resume_matches_uninterrupted(example_tree, rng, tmp_path):
+    """Resume parity must hold for HYBRID labelers too: the exact-vs-fast
+    decision depends on the previous iteration's relative cost1 change
+    (d3), which is reconstructed from the restored cost rows on resume —
+    a reset-to-inf would force an exact pass at the resume iteration and
+    fork the trajectory."""
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
+    # threshold high enough that the stall/fast-motion bands are live
+    # (the degenerate threshold=1e-12 used elsewhere would never stall)
+    kw = dict(final_polish=False, n_states=3, seed=7, mstep_iters=30,
+              pad_h=8, pad_w=8, min_iter=99, threshold=1e-4,
+              labeler="mf_icm+swap@3")
+
+    m_full = PhyloHMRF(example_tree, regions,
+                       PhyloHMRFConfig(max_iter=5, **kw))
+    r_full = m_full.fit(verbose=False)
+
+    ck = str(tmp_path / "ck.npz")
+    PhyloHMRF(example_tree, regions,
+              PhyloHMRFConfig(max_iter=2, **kw)).fit(
+        verbose=False, checkpoint_path=ck, checkpoint_every=1)
+    m_res = PhyloHMRF(example_tree, regions,
+                      PhyloHMRFConfig(max_iter=5, **kw))
+    r_res = m_res.fit(verbose=False, checkpoint_path=ck, resume=True)
+
+    # identical exact-pass schedule after the resume point...
+    full_tail = [i for i in m_full.hybrid_exact_iters_ if i >= 2]
+    assert m_res.hybrid_exact_iters_ == full_tail, (
+        m_full.hybrid_exact_iters_, m_res.hybrid_exact_iters_)
+    # ...and identical trajectories
+    np.testing.assert_allclose(r_full.cost_vec, r_res.cost_vec,
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(r_full.labels, r_res.labels)
+    np.testing.assert_allclose(r_full.params_vec1, r_res.params_vec1)
+
+
 def test_crash_recovery_sigkill(example_tree, tmp_path):
     """Fault injection: a fit process is SIGKILLed mid-EM (no cleanup, no
     exception path); resuming from the surviving checkpoint reproduces the
