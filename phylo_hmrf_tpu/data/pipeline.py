@@ -136,6 +136,14 @@ def load_dataset(chrom_vec, cfg: PhyloHMRFConfig, chrom_sizes_file: str,
                  n_workers: int = 0):
     """Load all chromosomes. Returns (regions, x_max). When x_max is None it
     is computed from the quantile stats (reference `phylo_hmrf.py:1658-1664`).
+
+    With n_workers > 1 chromosomes load in a process pool — the
+    reference's parallelism unit (one mp.Process per chromosome,
+    utility.py:284-298). The pool uses the spawn context: the caller may
+    already hold an initialized JAX backend (remote-TPU tunnel fds), which
+    a fork would duplicate into the children. Contact-list parsing
+    dominates the per-chromosome cost, so the speedup is ~min(n_workers,
+    n_chroms) until disk bandwidth saturates.
     """
     if x_max is None:
         m_vec = quantile_contact_vec(chrom_vec, cfg.resolution,
@@ -143,6 +151,18 @@ def load_dataset(chrom_vec, cfg: PhyloHMRFConfig, chrom_sizes_file: str,
                                      cfg.legacy_bin_count)
         x_max = x_max_from_quantiles(m_vec)
     regions = []
+    if n_workers > 1 and len(chrom_vec) > 1:
+        import multiprocessing as mp
+        ctx = mp.get_context("spawn")
+        with ProcessPoolExecutor(max_workers=min(n_workers, len(chrom_vec)),
+                                 mp_context=ctx) as pool:
+            futs = [pool.submit(load_chromosome, chrom, cfg,
+                                chrom_sizes_file, paths, species,
+                                synteny_dir, x_max, 0)
+                    for chrom in chrom_vec]
+            for f in futs:
+                regions.extend(f.result())
+        return regions, x_max
     for chrom in chrom_vec:
         regions.extend(load_chromosome(chrom, cfg, chrom_sizes_file, paths,
                                        species, synteny_dir, x_max,

@@ -228,6 +228,35 @@ def test_pipeline_end_to_end_synthetic(tiny_dataset):
     np.testing.assert_allclose(regions2[0].dmaps, r.dmaps, rtol=1e-5)
 
 
+def test_load_dataset_worker_pool_matches_serial(tmp_path):
+    """Cross-chromosome process-pool loading (the reference's one-process-
+    per-chromosome unit, utility.py:284-298) must reproduce the serial
+    load exactly, in the same region order."""
+    import subprocess
+    import sys
+    out = str(tmp_path / "ex")
+    subprocess.run([sys.executable,
+                    os.path.join(os.path.dirname(__file__), "..",
+                                 "examples", "make_synthetic_example.py"),
+                    "--out", out, "--n-bins", "40", "--n-states", "3"],
+                   check=True, capture_output=True)
+    species = ["speciesA", "speciesB", "speciesC", "speciesD"]
+    paths = [os.path.join(out, f"hic_{s}") for s in species]
+    cfg = PhyloHMRFConfig(pad_h=8, pad_w=8)
+    args = ([21, 22], cfg, os.path.join(out, "hg38.chrom.sizes"),
+            paths, species, out)
+    r_ser, x1 = load_dataset(*args, n_workers=0)
+    r_par, x2 = load_dataset(*args, n_workers=2)
+    assert x1 == x2
+    assert len(r_ser) == len(r_par)
+    for a, b in zip(r_ser, r_par):
+        assert (a.chrom, a.region_id) == (b.chrom, b.region_id)
+        np.testing.assert_array_equal(a.mask, b.mask)
+        np.testing.assert_allclose(a.flat_values(), b.flat_values(),
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(a.dmaps, b.dmaps, rtol=0, atol=0)
+
+
 @pytest.mark.slow
 def test_pipeline_real_chr22():
     """Real reference example data (3 of 4 species are present in this
