@@ -161,6 +161,27 @@ def _roofline(t_iter_s, flops, hbm_bytes):
     return out
 
 
+def _em_roofline(estep, mstep, e_args, p0, t_iter):
+    """Utilization dict for one EM iteration: flops from the pure-XLA
+    E-step variant (Pallas custom calls report zero flops), bytes from the
+    production (fused) path, plus the M-step's costs."""
+    import functools
+
+    import jax
+
+    from phylo_hmrf_tpu.models.hmrf import _estep_bucket
+
+    estep_plain = jax.jit(functools.partial(
+        _estep_bucket, weighted_pp=False, labeler="mf_icm", max_sweeps=60,
+        use_pallas=False))
+    flops_e, _ = _cost(estep_plain, *e_args)
+    _, bytes_e = _cost(estep, *e_args)
+    _, (post, obs, obs2), _, _ = estep(*e_args)
+    flops_m, bytes_m = _cost(mstep, p0, post.sum(0), obs.sum(0),
+                             obs2.sum(0))
+    return _roofline(t_iter, flops_e + flops_m, bytes_e + bytes_m)
+
+
 def bench_tpu(tree, region, means, covs, warm, iters):
     import functools
     import jax
@@ -223,18 +244,8 @@ def bench_tpu(tree, region, means, covs, warm, iters):
     # difference out the constant dispatch/fetch overhead of the tunnel
     t_iter = max((t5 - t1) / 4.0, 1e-9)
 
-    # roofline: flops from the pure-XLA E-step variant (the Pallas custom
-    # calls report zero flops), bytes from the production (fused) path
-    estep_plain = jax.jit(functools.partial(
-        _estep_bucket, weighted_pp=False, labeler="mf_icm", max_sweeps=60,
-        use_pallas=False))
     e_args = (img, mask, dmaps, warm_g, means_j, covs_j, beta_j, beta1_j)
-    flops_e, _ = _cost(estep_plain, *e_args)
-    _, bytes_e = _cost(estep, *e_args)
-    labels, (post, obs, obs2), costs, nv = estep(*e_args)
-    flops_m, bytes_m = _cost(mstep, p0, post.sum(0), obs.sum(0),
-                             obs2.sum(0))
-    util = _roofline(t_iter, flops_e + flops_m, bytes_e + bytes_m)
+    util = _em_roofline(estep, mstep, e_args, p0, t_iter)
     return t_iter, util
 
 
@@ -536,16 +547,8 @@ def bench_genome(iters):
     t1, t3 = timed(1), timed(3)
     t_iter = max((t3 - t1) / 2.0, 1e-9)
 
-    estep_plain = jax.jit(functools.partial(
-        _estep_bucket, weighted_pp=False, labeler="mf_icm", max_sweeps=60,
-        use_pallas=False))
     e_args = (img, mask, dmaps, warm_g, means_j, covs_j, beta_j, beta1_j)
-    flops_e, _ = _cost(estep_plain, *e_args)
-    _, bytes_e = _cost(estep, *e_args)
-    labels, (post, obs, obs2), costs, nv = estep(*e_args)
-    flops_m, bytes_m = _cost(mstep, p0, post.sum(0), obs.sum(0),
-                             obs2.sum(0))
-    util = _roofline(t_iter, flops_e + flops_m, bytes_e + bytes_m)
+    util = _em_roofline(estep, mstep, e_args, p0, t_iter)
     return t_iter, n_true, util
 
 

@@ -164,9 +164,13 @@ def run(opts) -> str:
         local_chroms = partition_chromosomes(
             chrom_vec, data_path, cfg, dist["process_count"],
             dist["process_index"])
-        # preprocessing caches are per-process (distinct chromosome sets)
-        cache_scope = os.path.join(opts.output,
-                                   f"proc{dist['process_index']}")
+        # preprocessing caches are per-process AND per-partition: the dir
+        # name carries the local chromosome set so a --reload 1 rerun with
+        # a different --num_processes misses the cache (and rebuilds)
+        # instead of silently loading another partition's regions
+        chrom_tag = "-".join(str(c) for c in local_chroms)
+        cache_scope = os.path.join(
+            opts.output, f"proc{dist['process_index']}_c{chrom_tag}")
 
     # quantile normalization constant (reference phylo_hmrf.py:1648-1664);
     # multi-process runs scan only local chromosomes and allgather the rows
@@ -240,8 +244,11 @@ def run(opts) -> str:
     if ckpt_path is not None and dist["process_count"] > 1:
         # each process checkpoints its OWN local-region labels + history;
         # a shared path would interleave/clobber one sidecar across
-        # processes and resume would load another process's labels
-        ckpt_path = f"{ckpt_path}.proc{dist['process_index']}"
+        # processes and resume would load another process's labels. The
+        # chromosome tag (like the cache dir) makes a resume under a
+        # different partition a clean cache-miss, not a shape mismatch.
+        ckpt_path = (f"{ckpt_path}.proc{dist['process_index']}"
+                     f"_c{chrom_tag}")
     from phylo_hmrf_tpu.utils.profiling import jax_trace
     with jax_trace(opts.profile_dir or None):
         result = model.fit(checkpoint_path=ckpt_path,

@@ -297,7 +297,18 @@ class PhyloHMRF:
         if cfg.dtype not in ("float32", "float64"):
             raise ValueError(f"dtype must be float32/float64, got "
                              f"{cfg.dtype!r}")
-        if cfg.dtype == "float64":
+        if cfg.dtype == "float64" and not jax.config.jax_enable_x64:
+            # jax x64 is inherently process-global: flipping it here
+            # affects every later trace in this process (weak-type
+            # promotion, integer carry widths). Warn so a caller mixing
+            # f32 and f64 models in one process knows the f32 models now
+            # trace under x64 semantics (their arrays stay f32, but
+            # unpinned literals promote differently).
+            import warnings
+            warnings.warn(
+                "dtype='float64' enables jax_enable_x64 for the whole "
+                "process; construct f64 models in a dedicated process if "
+                "you also run f32 models", stacklevel=2)
             jax.config.update("jax_enable_x64", True)
         self._dtype = jnp.dtype(cfg.dtype)
         self._np_dtype = np.dtype(cfg.dtype)
@@ -535,6 +546,12 @@ class PhyloHMRF:
         bucketing and process partitioning.
         """
         cfg = self.cfg
+        if self._spatial and exact_method is not None:
+            # fit can't reach this (init rejects hybrid/exact labelers in
+            # spatial mode) but a direct caller must not get a silent
+            # mean-field pass when it asked for an exact one
+            raise ValueError("exact_method is not supported with "
+                             "shard_mode='spatial'; use shard_mode='region'")
         K, F = self.n_states, self.n_features
         R = len(self.regions)
         post = np.zeros((R, K))

@@ -10,6 +10,11 @@ import jax
 import jax.numpy as jnp
 
 
+# peak-memory budget for running every k-means trial lockstep (vmap);
+# above it trials run sequentially on device (lax.map) — see _kmeans_multi
+_VMAP_TRIAL_BYTES = 2 << 30
+
+
 def _pairwise_sq_dists(X: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
     """(N, F) x (K, F) -> (N, K) squared distances via the MXU."""
     xx = jnp.sum(X * X, axis=1, keepdims=True)
@@ -84,7 +89,16 @@ def _kmeans_multi(keys, X, k: int, n_iters: int, m: int):
         centers, _, inertia = _lloyd_traced(key, X, centers0, k, n_iters)
         return centers, inertia
 
-    centers_all, inertia_all = jax.vmap(one_trial)(keys)
+    # vmap runs all trials lockstep, so the live (n_init, N, K) distance
+    # and one-hot buffers scale with the trial count; at genome scale
+    # (N in the tens of millions) that multiplies peak HBM by n_init.
+    # Above a ~2 GB single-trial footprint fall back to lax.map: still ONE
+    # fused dispatch (the tunnel-RTT motivation), sequential trial memory.
+    trial_bytes = 2 * X.shape[0] * k * X.dtype.itemsize
+    if keys.shape[0] * trial_bytes > _VMAP_TRIAL_BYTES:
+        centers_all, inertia_all = jax.lax.map(one_trial, keys)
+    else:
+        centers_all, inertia_all = jax.vmap(one_trial)(keys)
     best = jnp.argmin(inertia_all)
     centers = centers_all[best]
     d2 = _pairwise_sq_dists(X, centers)

@@ -545,7 +545,10 @@ def _optimize_batched(unary_k: jnp.ndarray, wmaps: jnp.ndarray,
     real-data gates (<=0.1% energy, >=99% agreement vs the 5000-cycle C++
     oracle) hold with it on (tests/test_real_data.py).
     """
-    beta_j = jnp.float32(beta)
+    # beta at the unary's precision: the f64 strict-parity mode must not
+    # round cut capacities through f32 (betas like 0.1 are not
+    # f32-representable and would fork the energy from the f64 oracle)
+    beta_j = jnp.asarray(beta, unary_k.dtype)
     up = _auto_pallas(use_pallas)
     labels = jnp.where(mask, init_labels, 0).astype(jnp.int32)
     e, hist_j = _energy_hist(labels, unary_k, wmaps, mask, beta_j,
@@ -693,7 +696,7 @@ def exact_labels_batched(unary_k: jnp.ndarray, wmaps: jnp.ndarray,
     ships, GCoptimization.cpp:965). unary_k is K-major (R, K, H, W) — the
     layout `gaussian_logpdf_kmajor` emits and every kernel here consumes."""
     up = _auto_pallas(use_pallas)
-    beta_j = jnp.float32(beta)
+    beta_j = jnp.asarray(beta, unary_k.dtype)
     start_fn = _start_batch_pallas if up else _start_batch
     start = start_fn(unary_k, wmaps, mask, warm, beta_j,
                      icm_max_sweeps=icm_max_sweeps)

@@ -114,9 +114,15 @@ class MultiProcessPhyloHMRF(PhyloHMRF):
                             else None)
 
     def _region_key(self, r):
+        # two disjoint key spaces: chromosomes in chrom_order sort by their
+        # position [0, len); any chromosome absent from the list sorts
+        # after them by raw number (len + c) — mixing index-space with raw
+        # numbers would let e.g. order-position 0 collide with raw chrom 0
+        # and scramble the global region order the gather relies on
         c = int(r.chrom)
-        if self.chrom_order is not None and c in self.chrom_order:
-            c = self.chrom_order.index(c)
+        if self.chrom_order is not None:
+            c = (self.chrom_order.index(c) if c in self.chrom_order
+                 else len(self.chrom_order) + c)
         return (c, int(r.region_id))
 
     def _init_arrays(self):

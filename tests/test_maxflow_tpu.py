@@ -343,3 +343,51 @@ def test_dominance_freezing_exact(rng):
             if best is None or e < best:
                 best = e
         assert energy(out2) == pytest.approx(best, abs=1e-3), trial
+
+
+def test_swap_optimize_f64_beta(rng):
+    """Strict-parity mode: an f32-unrepresentable beta (0.1) must reach the
+    cut capacities at f64 (regression: beta was cast through jnp.float32
+    regardless of the unary dtype)."""
+    import jax
+
+    from phylo_hmrf_tpu.ops.maxflow_tpu import _energy_hist
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        H0, K, beta, beta1 = 12, 3, 0.1, 0.5
+        rows, cols = flat_index_order(H0, H0, True)
+        vals = (rng.random((rows.shape[0], 3)) + 0.1).astype(np.float64)
+        region = region_from_samples(vals, H0, H0, True, pad_h=4, pad_w=4)
+        N = region.n_samples
+        unary_flat = (rng.random((N, K)) * 2).astype(np.float64)
+        warm = rng.integers(0, K, N).astype(np.int32)
+
+        edges = flat_edge_list(region)
+        w = np.exp(-beta1 * edges[:, 2])
+        ei = edges[:, :2].astype(np.int64)
+
+        unary_grid = np.zeros(region.shape + (K,), np.float64)
+        unary_grid[region.flat_rows, region.flat_cols] = unary_flat
+        wm = weight_maps(jnp.asarray(region.dmaps, jnp.float64), beta1)
+        mask = jnp.asarray(region.mask)
+        out = swap_optimize(jnp.asarray(unary_grid), wm, mask,
+                            jnp.asarray(region.labels_to_grid(warm)),
+                            beta, K, use_pallas=False)
+        out_flat = region.labels_to_flat(np.asarray(out)).astype(np.int32)
+        e_tpu = native.potts_energy(ei, w, unary_flat, beta, out_flat)
+        cpp_labels = native.potts_swap(ei, w, unary_flat, beta, warm, 100)
+        e_cpp = native.potts_energy(ei, w, unary_flat, beta, cpp_labels)
+        assert e_tpu <= e_cpp + 1e-9 + 1e-4 * abs(e_cpp), (e_tpu, e_cpp)
+
+        # the on-device energy itself must be f64 and match the f64 oracle
+        # tightly — an f32-rounded beta forks it at ~1e-8 relative
+        uk = jnp.asarray(np.transpose(unary_grid, (2, 0, 1))[None])
+        e_dev, _ = _energy_hist(jnp.asarray(np.asarray(out)[None]), uk,
+                                wm[None], mask[None],
+                                jnp.asarray(beta, jnp.float64), n_states=K)
+        assert e_dev.dtype == jnp.float64
+        np.testing.assert_allclose(float(np.asarray(e_dev).sum()), e_tpu,
+                                   rtol=1e-12, atol=1e-12)
+    finally:
+        jax.config.update("jax_enable_x64", False)

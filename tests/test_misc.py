@@ -219,3 +219,51 @@ def test_fit_v1_variant(example_tree, rng):
                         tree=example_tree)
     np.testing.assert_allclose(res.means, np.asarray(means, np.float64),
                                rtol=1e-6)
+
+
+def test_kmeans_seqmap_matches_vmap(monkeypatch):
+    """Above the memory budget k-means trials run via lax.map instead of
+    vmap; both paths must pick the same best trial from the same keys."""
+    import jax
+    import jax.numpy as jnp
+
+    from phylo_hmrf_tpu.ops import kmeans as km
+
+    X = jnp.asarray(np.random.default_rng(3).normal(
+        size=(601, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+    c_ref, l_ref, i_ref = km.kmeans(key, X, 4, n_iters=25, n_init=3)
+    # same shapes would hit the cached trace; drop it so the patched
+    # budget is read at the fresh trace
+    km._kmeans_multi.clear_cache()
+    monkeypatch.setattr(km, "_VMAP_TRIAL_BYTES", 0)
+    c_map, l_map, i_map = km.kmeans(key, X, 4, n_iters=25, n_init=3)
+    km._kmeans_multi.clear_cache()
+    # vmap vs lax.map change float reduction order, so near-tied trials
+    # may pick different winners on noise data — gate solution QUALITY,
+    # not bitwise centers
+    assert np.asarray(c_map).shape == np.asarray(c_ref).shape
+    assert np.asarray(l_map).shape == np.asarray(l_ref).shape
+    np.testing.assert_allclose(float(i_map), float(i_ref), rtol=1e-3)
+
+
+def test_multiproc_region_key_no_collision():
+    """Chromosomes absent from chrom_order sort after ordered ones — raw
+    chrom numbers must not collide with order positions."""
+    from phylo_hmrf_tpu.parallel.multiproc import MultiProcessPhyloHMRF
+
+    class _R:
+        def __init__(self, chrom, rid):
+            self.chrom, self.region_id = chrom, rid
+
+    class _Stub:
+        chrom_order = [5, 1]
+        _region_key = MultiProcessPhyloHMRF._region_key
+
+    s = _Stub()
+    k5 = s._region_key(_R(5, 0))
+    k1 = s._region_key(_R(1, 0))
+    k0 = s._region_key(_R(0, 0))   # not in chrom_order
+    assert k5 == (0, 0) and k1 == (1, 0)
+    assert k0[0] >= len(s.chrom_order)       # disjoint key space
+    assert len({k5, k1, k0}) == 3

@@ -50,3 +50,24 @@ def test_spatial_rejects_indivisible_rows(example_tree, rng, mesh8):
                               regions[1].W0, False, pad_h=4, pad_w=8)
     with pytest.raises(ValueError):
         PhyloHMRF(example_tree, [bad], cfg, mesh=mesh8)
+
+
+def test_spatial_rejects_hybrid_labeler(example_tree, rng, mesh8):
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=32)
+    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, pad_h=8, pad_w=8,
+                          shard_mode="spatial", labeler="mf_icm+swap@2")
+    with pytest.raises(ValueError, match="spatial"):
+        PhyloHMRF(example_tree, regions, cfg, mesh=mesh8)
+
+
+def test_spatial_estep_rejects_exact_method(example_tree, rng, mesh8):
+    # a direct estep(exact_method=...) call must fail loudly, not silently
+    # run the mean-field labeler (fit can't reach this; external callers can)
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=32)
+    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=1,
+                          seed=1, pad_h=8, pad_w=8, min_iter=0,
+                          shard_mode="spatial")
+    m = PhyloHMRF(example_tree, regions, cfg, mesh=mesh8)
+    m.initialize()
+    with pytest.raises(ValueError, match="exact_method"):
+        m.estep(m.means_, m.covars_, m.labels_local, exact_method="swap")
