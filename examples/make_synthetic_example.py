@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--n-states", type=int, default=5)
     ap.add_argument("--resolution", type=int, default=50000)
     ap.add_argument("--chroms", default="21,22")
+    ap.add_argument("--scale-by-chrom", action="store_true",
+                    help="scale each chromosome's bin count by the real "
+                         "hg38 relative length (chr1 gets --n-bins, chr22 "
+                         "~0.20x of it) — for genome-shaped dress "
+                         "rehearsals with distinct region sizes")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -63,6 +68,15 @@ def main():
     n = args.n_bins
     K = args.n_states
     chroms = [int(c) for c in args.chroms.split(",")]
+    # hg38 chromosome lengths relative to chr1 (248.9 Mb)
+    rel = {1: 1.00, 2: .974, 3: .797, 4: .764, 5: .729, 6: .686, 7: .640,
+           8: .583, 9: .556, 10: .537, 11: .543, 12: .535, 13: .459,
+           14: .430, 15: .410, 16: .363, 17: .335, 18: .323, 19: .236,
+           20: .259, 21: .188, 22: .204}
+    if args.scale_by_chrom:
+        bins = {c: max(32, int(n * rel.get(c, 1.0))) for c in chroms}
+    else:
+        bins = {c: n for c in chroms}
 
     # per-state OU params with spread optima
     params = rng.random((K, tree.n_params)) * 0.5 + 0.2
@@ -72,9 +86,10 @@ def main():
 
     with open(os.path.join(out, "hg38.chrom.sizes"), "w") as f:
         for c in chroms:
-            f.write(f"chr{c}\t{n * res}\n")
+            f.write(f"chr{c}\t{bins[c] * res}\n")
 
     for c in chroms:
+        n = bins[c]
         labels = sample_potts_labels(rng, n, n, K, beta=1.2, n_sweeps=15)
         labels = np.triu(labels) + np.triu(labels, 1).T
         ii, jj = np.triu_indices(n)
@@ -101,7 +116,8 @@ def main():
 
     np.save(os.path.join(out, "true_params.npy"), params)
     print(f"wrote synthetic example to {out}/ "
-          f"({len(chroms)} chroms x {len(species)} species, {n} bins)")
+          f"({len(chroms)} chroms x {len(species)} species, "
+          f"{min(bins.values())}-{max(bins.values())} bins)")
 
 
 if __name__ == "__main__":

@@ -327,3 +327,24 @@ def test_hole_fill_center_including_variant(rng):
     assert out_c[i, j] == out_c[j, i]
     with pytest.raises(ValueError):
         hole_fill(m.copy(), symmetric=False, include_center=True)
+
+
+def test_synth_generator_scale_by_chrom(tmp_path):
+    """--scale-by-chrom gives chromosomes hg38-proportional bin counts."""
+    import subprocess
+    import sys
+    out = str(tmp_path / "gex")
+    subprocess.run([sys.executable,
+                    os.path.join(os.path.dirname(__file__), "..",
+                                 "examples", "make_synthetic_example.py"),
+                    "--out", out, "--n-bins", "100", "--n-states", "3",
+                    "--chroms", "1,19,21", "--scale-by-chrom"],
+                   check=True, capture_output=True)
+    sizes = {}
+    with open(os.path.join(out, "hg38.chrom.sizes")) as f:
+        for line in f:
+            c, n = line.split()
+            sizes[c] = int(n) // 50000
+    assert sizes["chr1"] == 100
+    assert sizes["chr19"] == 32      # 0.236 * 100 = 23 -> min-bin clamp 32
+    assert sizes["chr21"] == 32      # 0.188 * 100 = 18 -> min-bin clamp 32
