@@ -176,8 +176,25 @@ def run(opts) -> str:
     # multi-process runs scan only local chromosomes and allgather the rows
     x_max = None
     qfile = "chrom_quantile_test.txt"
-    if int(opts.quantile) == 0 and os.path.exists(qfile):
+    use_qfile = int(opts.quantile) == 0 and os.path.exists(qfile)
+    if dist["process_count"] > 1 and int(opts.quantile) == 0:
+        # the shortcut must be a COLLECTIVE decision: if one host's cwd has
+        # a stale cache file and another's does not, the two would execute
+        # mismatched collective sequences (one skips gather_quantile_rows,
+        # the other blocks in it) — a hang at best. All processes take the
+        # file path only when every process has the file, and the rows then
+        # come from process 0 so every process normalizes identically even
+        # if the per-host files differ.
+        from phylo_hmrf_tpu.parallel.multiproc import _allreduce_sum
+        n_have = int(_allreduce_sum(np.asarray([float(use_qfile)]))[0])
+        use_qfile = n_have == dist["process_count"]
+    if use_qfile:
         m_vec = np.loadtxt(qfile, delimiter="\t")
+        if dist["process_count"] > 1:
+            from phylo_hmrf_tpu.parallel.multiproc import (
+                _broadcast_from_zero)
+            m_vec = _broadcast_from_zero(
+                np.ascontiguousarray(np.atleast_2d(m_vec), np.float64))
         x_max = float(np.median(m_vec[:, 6]))
     else:
         m_vec = quantile_contact_vec(local_chroms, cfg.resolution,

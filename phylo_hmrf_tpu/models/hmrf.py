@@ -461,6 +461,12 @@ class PhyloHMRF:
             centers, labels = jax.device_get((centers, labels))
             centers = np.asarray(centers, np.float64)
 
+        # multi-process hook: the k-means result seeds labels_local, so any
+        # cross-process tie-break/compilation nondeterminism here would
+        # fork the warm starts (and the whole trajectory); the multiproc
+        # subclass broadcasts process 0's result bit-exactly
+        centers, labels = self._sync_init(centers, labels)
+
         self.means_ = centers.copy()
         cv = np.cov(X.T) + cfg.min_covar * np.eye(self.n_features)
         self.covars_ = np.tile(cv, (K, 1, 1))
@@ -474,6 +480,11 @@ class PhyloHMRF:
             s0, s1 = init_slices[i]
             self.labels_local.append(r.labels_to_grid(labels[s0:s1]))
         self.init_labels = labels.copy()
+
+    def _sync_init(self, centers, labels):
+        """Identity hook; `MultiProcessPhyloHMRF` broadcasts process 0's
+        k-means result so every process warm-starts identically."""
+        return centers, labels
 
     def _fit_init_params(self, X, labels, centers) -> np.ndarray:
         """Per-cluster OU fits (reference `_init_ou_param` + `_ou_optimize_init`,
@@ -767,7 +778,8 @@ class PhyloHMRF:
                                   self.n_states,
                                   max_cycles=cfg.swap_tpu_cycles,
                                   icm_max_sweeps=cfg.icm_max_sweeps,
-                                  method=method)
+                                  method=method,
+                                  use_pallas=self._use_pallas)
             out[ri] = np.asarray(labels)
         if return_buckets:
             return out, None   # sharded path: no bucket-batched tensors
@@ -949,13 +961,19 @@ class PhyloHMRF:
                      / self.n_samples_total)
 
         d3_prev = np.inf
+        d12_prev = np.inf
         if it_start > 0 and len(cost_rows) >= 2:
-            # recompute the last relative cost1 change so a resumed hybrid
+            # recompute the last relative cost changes so a resumed hybrid
             # run makes the same exact-vs-fast decision the uninterrupted
-            # run would (d3_prev = inf here would force an exact pass at
-            # the resume iteration and fork the trajectory)
+            # run would (inf here would force an exact pass at the resume
+            # iteration and fork the trajectory)
             c_prev, c_last = cost_rows[-2][3], cost_rows[-1][3]
             d3_prev = abs((c_last - c_prev) / c_prev)
+            d12_prev = max(
+                abs((cost_rows[-1][1] - cost_rows[-2][1])
+                    / cost_rows[-2][1]),
+                abs((cost_rows[-1][2] - cost_rows[-2][2])
+                    / cost_rows[-2][2]))
         self.hybrid_exact_iters_ = []
         for it in range(it_start, cfg.max_iter):
             exact_method = None
@@ -972,8 +990,12 @@ class PhyloHMRF:
                 # vs <=0.1% in the plateau on real chr22 —
                 # tests/test_real_data.py). The cheap path serves the
                 # plateau band threshold*3 < d3 < hybrid_exact_hi, plus
-                # whatever the period skips
+                # whatever the period skips. The stop rule has TWO routes
+                # (d3 < thr, OR d1 AND d2 < thr) — both are anticipated,
+                # else the run could terminate off a fast-labeler
+                # iteration via the d1&d2 route
                 if (it % period == 0 or d3_prev < 3 * cfg.threshold
+                        or d12_prev < 3 * cfg.threshold
                         or d3_prev > cfg.hybrid_exact_hi):
                     exact_method = method
                     self.hybrid_exact_iters_.append(it)
@@ -1001,6 +1023,7 @@ class PhyloHMRF:
             d3 = abs((cost1 - prev[2]) / prev[2])
             prev = np.array([pairwise_cost, unary_cost, cost1])
             d3_prev = d3
+            d12_prev = max(d1, d2)
 
             monitor.report(it, pairwise_cost, unary_cost, cost1)
             cost_rows.append([it, pairwise_cost, unary_cost, cost1])

@@ -264,7 +264,14 @@ def _incident_wsum(wmaps, beta: float):
     return beta * s
 
 
-def _swap_graph(labels, unary_k, wmaps, mask, a, b, beta: float):
+# (R, 4, H, W) -> (R, H, W), jitted once: `_optimize_batched` hoists the
+# incident sums out of its per-move dispatch loop (they depend only on the
+# weight maps and beta, constant across all moves and cycles of a pass)
+_WSUM_BATCH = jax.jit(jax.vmap(_incident_wsum, in_axes=(0, None)))
+
+
+def _swap_graph(labels, unary_k, wmaps, mask, a, b, beta: float,
+                wsum=None):
     """Binary min-cut graph of one alpha-beta swap move (single region):
     returns (excess0, cap_t0, caps0, in_play). Pure jnp — safe to vmap
     over a region batch (the cut itself is dispatched separately so the
@@ -282,7 +289,8 @@ def _swap_graph(labels, unary_k, wmaps, mask, a, b, beta: float):
     u_a = _plane(unary_k, a)
     u_b = _plane(unary_k, b)
 
-    wsum = _incident_wsum(wmaps, beta)
+    if wsum is None:   # depends only on (wmaps, beta): hoistable per pass
+        wsum = _incident_wsum(wmaps, beta)
     keep_a = (labels == a) & ((u_b - u_a) > wsum)
     keep_b = (labels == b) & ((u_a - u_b) > wsum)
     in_play = in_play & ~keep_a & ~keep_b
@@ -346,7 +354,8 @@ def swap_move(labels: jnp.ndarray, unary_k: jnp.ndarray, wmaps: jnp.ndarray,
     return new_labels, n_changed
 
 
-def _expansion_graph(labels, unary_k, wmaps, mask, alpha, beta: float):
+def _expansion_graph(labels, unary_k, wmaps, mask, alpha, beta: float,
+                     wsum=None):
     """Binary min-cut graph of one alpha-expansion move (single region,
     Kolmogorov-Zabih reduction — see `expansion_move`): returns
     (excess0, cap_t0, caps0, in_play). Pure jnp, vmap-safe."""
@@ -360,7 +369,8 @@ def _expansion_graph(labels, unary_k, wmaps, mask, alpha, beta: float):
     # dominance (persistency) freezing — see `_swap_graph`: a pixel whose
     # alpha-margin strictly beats its total incident pairwise weight keeps
     # its label in every optimal expansion; it becomes a frozen neighbor
-    wsum = _incident_wsum(wmaps, beta)
+    if wsum is None:   # depends only on (wmaps, beta): hoistable per pass
+        wsum = _incident_wsum(wmaps, beta)
     in_play = in_play & ~((u_alpha - u_cur) > wsum)
     # masked-in pixels excluded from the cut but not labeled alpha: their
     # edges contribute constant shifts (before freezing this class only
@@ -458,16 +468,19 @@ def _cut_batch(excess0, cap_t0, caps0, max_sweeps, relabel_every,
 
 @functools.partial(jax.jit, static_argnames=("max_sweeps", "relabel_every",
                                              "use_pallas"))
-def _swap_move_batch(labels, unary_k, wmaps, mask, a, b, beta, *,
+def _swap_move_batch(labels, unary_k, wmaps, mask, a, b, beta, wsum, *,
                      max_sweeps: int, relabel_every: int = 32,
                      use_pallas: bool = False):
     """Swap move over a region batch: labels (R, H, W), unary_k
     (R, K, H, W), wmaps (R, 4, H, W), mask (R, H, W); one (a, b) pair for
     the whole batch (regions share the pair schedule, VERDICT r2 item 6).
+    ``wsum`` is the precomputed incident-weight sum (R, H, W) — constant
+    across every move of a labeling pass, so the caller hoists it instead
+    of re-reading the full weight maps per dispatch.
     Returns (labels (R, H, W), n_changed (R,))."""
     excess0, cap_t0, caps0, in_play = jax.vmap(
-        lambda l, u, w, m: _swap_graph(l, u, w, m, a, b, beta))(
-            labels, unary_k, wmaps, mask)
+        lambda l, u, w, m, s: _swap_graph(l, u, w, m, a, b, beta, s))(
+            labels, unary_k, wmaps, mask, wsum)
     side = _cut_batch(excess0, cap_t0, caps0, max_sweeps, relabel_every,
                       use_pallas)
     new_labels = jnp.where(side, a, b).astype(labels.dtype)
@@ -479,13 +492,13 @@ def _swap_move_batch(labels, unary_k, wmaps, mask, a, b, beta, *,
 
 @functools.partial(jax.jit, static_argnames=("max_sweeps", "relabel_every",
                                              "use_pallas"))
-def _expansion_move_batch(labels, unary_k, wmaps, mask, alpha, beta, *,
-                          max_sweeps: int, relabel_every: int = 32,
+def _expansion_move_batch(labels, unary_k, wmaps, mask, alpha, beta, wsum,
+                          *, max_sweeps: int, relabel_every: int = 32,
                           use_pallas: bool = False):
     alpha = jnp.asarray(alpha, labels.dtype)
     excess0, cap_t0, caps0, in_play = jax.vmap(
-        lambda l, u, w, m: _expansion_graph(l, u, w, m, alpha, beta))(
-            labels, unary_k, wmaps, mask)
+        lambda l, u, w, m, s: _expansion_graph(l, u, w, m, alpha, beta, s))(
+            labels, unary_k, wmaps, mask, wsum)
     side = _cut_batch(excess0, cap_t0, caps0, max_sweeps, relabel_every,
                       use_pallas)
     new_labels = jnp.where(side, labels, alpha).astype(labels.dtype)
@@ -550,6 +563,9 @@ def _optimize_batched(unary_k: jnp.ndarray, wmaps: jnp.ndarray,
     # f32-representable and would fork the energy from the f64 oracle)
     beta_j = jnp.asarray(beta, unary_k.dtype)
     up = _auto_pallas(use_pallas)
+    # incident-weight sums depend only on (wmaps, beta): one dispatch for
+    # the whole pass instead of one rebuild inside every move
+    wsum_b = _WSUM_BATCH(wmaps, beta_j)
     labels = jnp.where(mask, init_labels, 0).astype(jnp.int32)
     e, hist_j = _energy_hist(labels, unary_k, wmaps, mask, beta_j,
                              n_states=n_states)
@@ -576,7 +592,7 @@ def _optimize_batched(unary_k: jnp.ndarray, wmaps: jnp.ndarray,
                     continue
                 labels, nch = _expansion_move_batch(
                     labels, unary_k, wmaps, mask, jnp.int32(mv[0]), beta_j,
-                    max_sweeps=max_sweeps, use_pallas=up)
+                    wsum_b, max_sweeps=max_sweeps, use_pallas=up)
                 changed_opt["any"] = t
             else:
                 a, b = mv
@@ -589,7 +605,7 @@ def _optimize_batched(unary_k: jnp.ndarray, wmaps: jnp.ndarray,
                     continue
                 labels, nch = _swap_move_batch(
                     labels, unary_k, wmaps, mask, jnp.int32(a),
-                    jnp.int32(b), beta_j, max_sweeps=max_sweeps,
+                    jnp.int32(b), beta_j, wsum_b, max_sweeps=max_sweeps,
                     use_pallas=up)
                 changed_opt[a] = changed_opt[b] = t
                 maybe[a] = maybe[b] = True

@@ -88,15 +88,51 @@ def _collective(fn, *args):
 
 
 def _allreduce_sum(x: np.ndarray) -> np.ndarray:
-    """Sum an identical-shaped host array across all jax processes."""
+    """Sum an identical-shaped host array across all jax processes.
+
+    BIT-EXACT: `process_allgather` silently downcasts f64->f32 when jax
+    x64 is off, which rounds sample counts above 2^24 (whole-genome 10 kb
+    runs) and breaks the bitwise single-process parity guarantee — so the
+    f64 payload travels as a uint32 view of its raw bytes (the same trick
+    `_allgather_ragged` uses) and is summed in f64 on the host."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    x = np.asarray(x, np.float64)
+    if jax.process_count() == 1:
+        return x
+    words = _collective(
+        multihost_utils.process_allgather,
+        np.ascontiguousarray(x).reshape(-1).view(np.uint32))
+    gathered = (np.asarray(words, np.uint32).view(np.float64)
+                .reshape((jax.process_count(),) + x.shape))
+    return np.sum(gathered, axis=0)
+
+
+def _broadcast_from_zero(arr: np.ndarray) -> np.ndarray:
+    """Bit-exact broadcast of process 0's array to every process.
+
+    `broadcast_one_to_all` downcasts f64->f32 / int64->int32 when x64 is
+    off, so the payload travels as a uint32 view of its raw bytes. The
+    LEADING dimension may differ across processes beforehand (e.g. each
+    host loaded a different cached quantile file): the result everywhere
+    is process 0's array, trailing dims and dtype must already agree."""
     import jax
     from jax.experimental import multihost_utils
 
     if jax.process_count() == 1:
-        return x
-    gathered = _collective(multihost_utils.process_allgather,
-                           np.asarray(x, np.float64))
-    return np.sum(gathered, axis=0)
+        return arr
+    arr = np.ascontiguousarray(arr)
+    n0 = np.asarray(
+        _collective(multihost_utils.broadcast_one_to_all,
+                    np.asarray([arr.shape[0]], np.uint32)), np.uint32)
+    n0 = int(n0[0])
+    buf = np.zeros((n0,) + arr.shape[1:], arr.dtype)
+    buf[:min(n0, arr.shape[0])] = arr[:n0]
+    words = _collective(multihost_utils.broadcast_one_to_all,
+                        buf.reshape(-1).view(np.uint32))
+    return (np.asarray(words, np.uint32).view(arr.dtype)
+            .reshape(buf.shape))
 
 
 class MultiProcessPhyloHMRF(PhyloHMRF):
@@ -159,29 +195,32 @@ class MultiProcessPhyloHMRF(PhyloHMRF):
             off += xs.shape[0]
         return X, slices
 
-    def initialize(self):
-        """Global-X k-means/OU init (see `_init_arrays`), then broadcast
-        process 0's parameters as a belt-and-braces determinism guard
-        (identical inputs should already yield identical fits)."""
+    def _sync_init(self, centers, labels):
+        """Broadcast process 0's k-means result bit-exactly: the labels
+        seed labels_local (the warm-start grids), so a single near-tied
+        assignment flipping on one process — device-config-dependent
+        reduction order is enough — would fork that process's whole EM
+        trajectory from the others'."""
         import jax
-        from jax.experimental import multihost_utils
+
+        if jax.process_count() == 1:
+            return centers, labels
+        return (_broadcast_from_zero(np.asarray(centers, np.float64)),
+                _broadcast_from_zero(np.ascontiguousarray(labels)))
+
+    def initialize(self):
+        """Global-X k-means/OU init (see `_init_arrays`, `_sync_init`),
+        then broadcast process 0's parameters as a belt-and-braces
+        determinism guard (identical inputs should already yield
+        identical fits)."""
+        import jax
 
         super().initialize()
         if jax.process_count() > 1:
-            # bit-exact broadcast: broadcast_one_to_all would downcast the
-            # f64 parameters to f32 (x64 off), perturbing the trajectory
-            # vs a single-process run — ship raw bytes as uint32 instead
-            synced = []
-            for a in (self.params_vec, self.init_ou_params, self.means_,
-                      self.covars_):
-                a = np.ascontiguousarray(a)
-                words = _collective(
-                    multihost_utils.broadcast_one_to_all,
-                    a.reshape(-1).view(np.uint32))
-                synced.append(np.asarray(words, np.uint32)
-                              .view(a.dtype).reshape(a.shape))
-            self.params_vec, self.init_ou_params = synced[0], synced[1]
-            self.means_, self.covars_ = synced[2], synced[3]
+            self.params_vec = _broadcast_from_zero(self.params_vec)
+            self.init_ou_params = _broadcast_from_zero(self.init_ou_params)
+            self.means_ = _broadcast_from_zero(self.means_)
+            self.covars_ = _broadcast_from_zero(self.covars_)
 
     def _gather_region_rows(self, arr: np.ndarray) -> np.ndarray:
         """Allgather per-region rows from every process and rebuild the

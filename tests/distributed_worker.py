@@ -57,6 +57,17 @@ def main():
                     key=lambda s: s.index[0].start or 0)
     halo_local = np.concatenate([np.asarray(s.data) for s in shards])
 
+    # bit-exact cross-process collectives (parallel/multiproc.py):
+    # 2^24 + 1 is not f32-representable, so a downcasting allgather would
+    # round the sum; the ragged broadcast must return process 0's rows on
+    # every process even though the local leading dims differ
+    from phylo_hmrf_tpu.parallel.multiproc import (_allreduce_sum,
+                                                   _broadcast_from_zero)
+    red = _allreduce_sum(np.asarray([float(2**24 + 1 + pid)], np.float64))
+    mine = (np.arange((3 + 2 * pid) * 2, dtype=np.float64)
+            .reshape(-1, 2) + 0.1 + pid)
+    bc = _broadcast_from_zero(mine)
+
     print("WORKER_JSON " + json.dumps({
         "pid": pid,
         "distributed": info["distributed"],
@@ -66,6 +77,8 @@ def main():
         "psum": psum_val,
         "psum_expected": float(glob.sum()),
         "halo_local": halo_local.tolist(),
+        "allreduce_big": float(red[0]),
+        "bcast": bc.tolist(),
     }), flush=True)
 
 

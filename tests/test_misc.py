@@ -196,6 +196,13 @@ def test_distributed_two_processes():
             bot = row_sum[i + 1] if i < 3 else 0.0
             np.testing.assert_allclose(halo[k],
                                        [top, row_sum[i], bot])
+        # _allreduce_sum is bit-exact above 2^24 (a downcasting allgather
+        # would round both addends to 2^24): (2^24+1) + (2^24+2), exact
+        assert res["allreduce_big"] == float(2 * 2**24 + 3)
+        # ragged broadcast returns process 0's rows on BOTH processes
+        np.testing.assert_array_equal(
+            np.asarray(res["bcast"]),
+            np.arange(6, dtype=np.float64).reshape(3, 2) + 0.1)
 
 
 def test_fit_v1_variant(example_tree, rng):
