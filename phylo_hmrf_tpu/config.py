@@ -102,6 +102,16 @@ class PhyloHMRFConfig:
     icm_max_sweeps: int = 60           # upper bound on checkerboard ICM sweeps per E-step
     swap_max_cycles: int = 5000        # C++ swap backend cycle budget (parity
                                        # with the reference graph-cut budget)
+    prewarm_compiles: bool = True      # fit() warms every jit program it will
+                                       # dispatch (per-bucket E-step, exact
+                                       # graph-cut moves for hybrid/polish) in
+                                       # a background thread on zero-capacity
+                                       # dummies, so XLA compilation /
+                                       # persistent-cache deserialization
+                                       # overlaps the k-means init and the EM
+                                       # iterations instead of serializing the
+                                       # final polish (~105 s cold / 5-17 s
+                                       # cache-warm at canonical K=20 scale)
 
     # ---- data pipeline ----
     resolution: int = 50000            # --resolution

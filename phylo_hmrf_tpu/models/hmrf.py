@@ -811,6 +811,80 @@ class PhyloHMRF:
         return out
 
     # ------------------------------------------------------------------
+    # compile prewarm
+    # ------------------------------------------------------------------
+
+    def prewarm_compiles(self):
+        """Warm, in a background daemon thread, the exact graph-cut programs
+        the final polish will dispatch (K-major unary + mean-field/ICM start
+        + move cuts, per bucket shape).
+
+        XLA compiles (and persistent-cache deserializations) are host-CPU
+        work while the EM loop is device-bound, so running them concurrently
+        hides the polish's compile cost (~105 s cold / 5-17 s cache-warm at
+        canonical K=20 scale) behind the k-means init and the EM iterations
+        instead of paying it serially when the polish finally dispatches.
+        Programs the EM loop itself compiles at iteration 0 (the fast
+        E-step; a hybrid labeler's exact pass, which fires at it=0) are
+        deliberately NOT prewarmed: the jit caches do not deduplicate
+        in-flight compiles across threads, so a near-simultaneous warm-up
+        would compile the same program twice and steal CPU from the real
+        one.
+
+        The warm-up calls go through the *same* code path as the real ones
+        (same shapes, dtypes, static arguments), so the in-process jit
+        caches are populated for the exact signatures fit uses. The dummy
+        inputs make execution near-free: zero unaries mean zero t-link
+        capacities, so every push-relabel cut starts with zero excess and
+        its while_loop exits immediately. The model's mutable state is
+        never touched, so trajectories are bit-identical with the prewarm
+        on or off (tests/test_em.py::test_prewarm_identical_fit).
+
+        Returns the started thread, or None when there is nothing to warm
+        (disabled, already done, mesh-sharded, no polish, or the polish
+        method already runs per-iteration)."""
+        cfg = self.cfg
+        if (not cfg.prewarm_compiles or self._n_shards != 1
+                or getattr(self, "_prewarmed", False)):
+            return None
+        if not cfg.final_polish or cfg.labeler in (
+                "swap", "swap_tpu", "expansion", "expansion_tpu"):
+            return None   # no polish pass will run (fit skips it)
+        if self._hybrid is not None and self._hybrid[0] == cfg.polish_method:
+            return None   # the hybrid's it=0 exact pass compiles it already
+        import threading
+        self._prewarmed = True
+        t = threading.Thread(target=self._prewarm_body, daemon=True,
+                             name="phmrf-prewarm")
+        t.start()
+        return t
+
+    def _prewarm_body(self):
+        from phylo_hmrf_tpu.ops.maxflow_tpu import exact_labels_batched
+
+        cfg = self.cfg
+        K, F = self.n_states, self.n_features
+        means_d = jnp.zeros((K, F), self._dtype)
+        covars_d = jnp.tile(jnp.eye(F, dtype=self._dtype), (K, 1, 1))
+        try:
+            for shape, (idxs, img, mask, dmaps) in \
+                    self._bucket_arrays.items():
+                R = img.shape[0]
+                warm0 = jnp.zeros((R,) + tuple(shape), jnp.int32)
+                # real-shaped unary (warms the K-major unary program),
+                # then zeroed so the cuts below converge immediately
+                unary0 = _UNARY_KMAJOR_JIT(img, means_d, covars_d) * 0
+                wm = weight_maps(dmaps, cfg.beta1)
+                exact_labels_batched(
+                    unary0, wm, mask, warm0, cfg.beta, K, max_cycles=1,
+                    icm_max_sweeps=cfg.icm_max_sweeps,
+                    method=cfg.polish_method, use_pallas=self._use_pallas)
+        except Exception:
+            # best-effort: a failed warm-up only means the real dispatch
+            # compiles on demand, exactly as without the prewarm
+            pass
+
+    # ------------------------------------------------------------------
     # M-step (reference `_do_mstep` + `_ou_optimize2`, phylo_hmrf.py:1500,1327)
     # ------------------------------------------------------------------
 
@@ -906,6 +980,9 @@ class PhyloHMRF:
                                          log_file=cost_log)
         self.monitor_ = monitor
         self.timer = PhaseTimer()
+        # overlap XLA compilation / compile-cache loads with the k-means
+        # init and the EM iterations (see prewarm_compiles)
+        prewarm_thread = self.prewarm_compiles()
         it_start = 0
         restored = None
         if resume and checkpoint_path is not None:
@@ -1095,6 +1172,11 @@ class PhyloHMRF:
         self.covars_ = (np.asarray(covars, np.float64)
                         + cfg.min_covar * np.eye(self.n_features))
 
+        if prewarm_thread is not None:
+            # the polish blocks on any still-compiling program anyway (the
+            # jit cache serializes per signature); joining first keeps the
+            # phase timer honest about what is compile vs cut compute
+            prewarm_thread.join()
         if cfg.final_polish and cfg.labeler not in (
                 "swap", "swap_tpu", "expansion", "expansion_tpu"):
             # one exact on-device graph-cut pass over the best-iteration

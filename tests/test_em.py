@@ -360,3 +360,24 @@ def test_threaded_buckets_match_serial(example_tree, rng):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         np.testing.assert_array_equal(c_t, c_s)
         np.testing.assert_array_equal(nv_t, nv_s)
+
+
+def test_prewarm_identical_fit(example_tree, rng):
+    """The compile prewarm (models/hmrf.py::prewarm_compiles) must be
+    invisible to results: a fit with the background warm-up thread on is
+    bit-identical to one with it off (it touches no model state — only jit
+    caches)."""
+    tree = example_tree
+    K = 3
+    _, _, _, regions, _ = synth_problem(tree, rng, K=K)
+    out = {}
+    for prewarm in (False, True):
+        cfg = PhyloHMRFConfig(n_states=K, max_iter=5, seed=1, min_iter=2,
+                              mstep_iters=40, pad_h=8, pad_w=8,
+                              final_polish=True, prewarm_compiles=prewarm)
+        model = PhyloHMRF(tree, regions, cfg)
+        res = model.fit(verbose=False)
+        out[prewarm] = res
+    np.testing.assert_array_equal(out[True].cost_vec, out[False].cost_vec)
+    np.testing.assert_array_equal(out[True].labels, out[False].labels)
+    np.testing.assert_array_equal(out[True].params_vec, out[False].params_vec)
