@@ -197,3 +197,52 @@ def save_state_image(grid: np.ndarray, path: str,
         ax.set_title(title)
     fig.savefig(path, bbox_inches="tight", dpi=150)
     plt.close(fig)
+
+
+# ---------------------------------------------------------------------------
+# symmetric-index helpers (reference utility.py:701-758)
+# ---------------------------------------------------------------------------
+
+def symmetric_idx(dim1: int, dim2: int) -> np.ndarray:
+    """Flat (raveled) indices of the upper triangle (row <= col) of a
+    dim1 x dim2 grid (reference ``symmetric_idx``, utility.py:729-742)."""
+    row_id = np.repeat(np.arange(dim1), dim2)
+    col_id = np.tile(np.arange(dim2), dim1)
+    return np.where(row_id <= col_id)[0]
+
+
+def symmetric_idx1(dim1: int, dim2: int):
+    """Upper (row <= col) and lower (row >= col) flat index sets
+    (reference ``symmetric_idx1``, utility.py:744-758)."""
+    row_id = np.repeat(np.arange(dim1), dim2)
+    col_id = np.tile(np.arange(dim2), dim1)
+    return (np.where(row_id <= col_id)[0], np.where(row_id >= col_id)[0])
+
+
+def symmetric_state(state: np.ndarray) -> np.ndarray:
+    """Mirror the upper triangle onto the lower triangle in place
+    (reference ``symmetric_state``, utility.py:701-709)."""
+    iu = np.triu_indices(state.shape[0], k=1, m=state.shape[1])
+    state[iu[1], iu[0]] = state[iu]
+    return state
+
+
+def symmetric_state1(state_flat: np.ndarray, window_size: int) -> np.ndarray:
+    """Scatter a flat upper-triangle state vector into a dense
+    (window_size, window_size) matrix and symmetrize (reference
+    ``symmetric_state1``, utility.py:711-719)."""
+    out = np.zeros((window_size, window_size))
+    out.ravel()[symmetric_idx(window_size, window_size)] = state_flat
+    return symmetric_state(out)
+
+
+def symmetric_state1_vec(state_vec_list, len_vec) -> list:
+    """Densify+symmetrize every diagonal region's flat states (reference
+    ``symmetric_state1_vec``, utility.py:721-727 — which drops the
+    window-size argument; the intended per-region window from len_vec
+    column 3 is used here). Returns the concatenated raveled rows."""
+    len_vec = np.asarray(len_vec)
+    out = []
+    for i in range(len_vec.shape[0]):
+        out.extend(symmetric_state1(state_vec_list[i], int(len_vec[i, 3])))
+    return out

@@ -8,6 +8,8 @@ synteny-alignment block parser used to prepare `chr*.synteny.txt` inputs.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -108,3 +110,89 @@ def _same_chrom(chrom_vec) -> bool:
     allowed = ({"chr2", "chr2A", "chr2B"} if base == "chr2"
                else {base})
     return all(c in allowed for c in chrom_vec)
+
+
+def merge_contact_file(path1: str, output_filename: str,
+                       chrom_vec=None, resolution: int = 50000) -> None:
+    """Concatenate per-chromosome 3-column contact lists into one
+    tab-separated file with a leading ``chrN`` label column, NaN written as
+    ``NAN`` (reference ``merge_contact_file``, utility.py:49-78)."""
+    if chrom_vec is None:
+        chrom_vec = list(range(1, 23))
+    kb = resolution // 1000
+    frames = []
+    for chrom in chrom_vec:
+        d = pd.read_table(f"{path1}/chr{chrom}.{kb}K.txt", header=None)
+        t = pd.DataFrame({"chrom": [f"chr{chrom}"] * len(d),
+                          "start1": d[0], "start2": d[1], "value": d[2]})
+        frames.append(t)
+    pd.concat(frames, ignore_index=True).to_csv(
+        output_filename, header=False, index=False, na_rep="NAN", sep="\t")
+
+
+def merge_estimate_file(path1: str, species_vec, output_filename: str,
+                        chrom_vec=None, output_path: str = ".") -> None:
+    """Merge per-chromosome 11-column estimate exports (``test{N}.txt``:
+    start1 bin1 stop1 start2 bin2 stop2 state f_1..f_S) into one file keyed
+    by ``chrN``, then split one 4-column file per species (reference
+    ``merge_estimate_file``, utility.py:80-117)."""
+    if chrom_vec is None:
+        chrom_vec = list(range(1, 23))
+    frames = []
+    for chrom in chrom_vec:
+        d = pd.read_table(f"{path1}/test{chrom}.txt", header=None)
+        cols = list(d)
+        sub = [cols[0], cols[1], cols[4], cols[7], cols[8], cols[9],
+               cols[10]][:3 + len(species_vec)]
+        t = d.loc[:, sub].copy()
+        t[cols[0]] = [f"chr{chrom}"] * len(t)
+        frames.append(t)
+    merged = pd.concat(frames, ignore_index=True)
+    merged.to_csv(output_filename, header=False, index=False, sep="\t")
+    cols = list(merged)
+    for i, sp in enumerate(species_vec):
+        merged.loc[:, [cols[0], cols[1], cols[2], cols[3 + i]]].to_csv(
+            os.path.join(output_path, f"estimate_{sp}.txt"),
+            header=False, index=False, sep="\t")
+
+
+def chrom_contactMtx(input_filename: str, chrom) -> str:
+    """Rewrite a raw ``*.{res}Kb.*`` contact list as a 4-column BED
+    (chrom, bin1, bin2, value) with coordinates divided by the resolution
+    parsed from the filename and NaN -> -1 (reference ``chrom_contactMtx``,
+    utility.py:2664-2690). Returns the output path."""
+    str_vec = input_filename.split(".")
+    resolution = int(str_vec[1][:str_vec[1].find("Kb")]) * 1000
+    if str_vec[1].find("chr") < 0:
+        chrom = f"chr{chrom}"
+    d = pd.read_table(input_filename, header=None)
+    value = np.array(d[2], dtype=np.float64)
+    value[np.isnan(value)] = -1
+    out = pd.DataFrame({
+        "chrom": [chrom] * len(d),
+        "x1": (np.asarray(d[0]) // resolution).astype(np.int64),
+        "x2": (np.asarray(d[1]) // resolution).astype(np.int64),
+        "value": value})
+    output_filename = f"{input_filename[:input_filename.find('.txt')]}.bed"
+    out.to_csv(output_filename, header=False, index=False, sep="\t")
+    return output_filename
+
+
+def overlap_openChromatin(loc1, loc2) -> list:
+    """Indices of feature regions (``loc1``: dict/frame with chr/start/stop)
+    overlapping any open-chromatin interval (``loc2``: [chrom, start, stop]
+    columns) (reference ``overlap_openChromatin``, utility.py:2692-2723)."""
+    chrom1 = np.asarray(loc1["chr"])
+    start1 = np.asarray(loc1["start"])
+    stop1 = np.asarray(loc1["stop"])
+    chrom2, start2, stop2 = (np.asarray(loc2[0]), np.asarray(loc2[1]),
+                             np.asarray(loc2[2]))
+    chrom_dict = {c: np.where(chrom1 == c)[0] for c in set(chrom1)}
+    sel_idx = set()
+    for j in range(len(chrom2)):
+        b1 = chrom_dict.get(chrom2[j])
+        if b1 is None:
+            continue
+        hit = (start1[b1] < stop2[j]) & (stop1[b1] > start2[j])
+        sel_idx.update(b1[hit].tolist())
+    return sorted(sel_idx)
