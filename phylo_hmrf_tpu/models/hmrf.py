@@ -274,6 +274,53 @@ def _moments(params, *, tree):
     return ou_moments_batch(params, tree)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _init_cluster_stats(X, labels, k: int):
+    """Per-cluster count / mean / second moment from device-resident
+    k-means labels, as one-hot segment-sum matmuls (MXU) instead of a host
+    loop over clusters. Keeping this on device lets ``initialize`` block on
+    exactly ONE device_get — over the remote tunnel each D2H fetch pays a
+    0.1-8 s round trip (PARITY §Canonical), and the old host path needed
+    the labels before it could form the M-step init stats."""
+    Xd = X.astype(jnp.float64)
+    onehot = jax.nn.one_hot(labels, k, dtype=Xd.dtype)
+    cnt = onehot.sum(0)
+    denom = jnp.maximum(cnt, 1.0)
+    xbar = (onehot.T @ Xd) / denom[:, None]
+    n, f = X.shape
+    xpair = (Xd[:, :, None] * Xd[:, None, :]).reshape(n, f * f)
+    xxT = ((onehot.T @ xpair) / denom[:, None]).reshape(k, f, f)
+    return xbar, xxT, cnt
+
+
+@functools.partial(jax.jit, static_argnames=("tree", "n_params"))
+def _init_guess(centers, rand_part, *, tree, n_params: int):
+    """Tree-propagated initial guesses on device — a bitwise mirror of
+    `propagate_mean_guess` (models/ou.py:251, reference ``_ou_init_guess``
+    phylo_hmrf.py:1453-1480): the flag bookkeeping is purely structural, so
+    it runs at trace time and emits the exact 0.5-weighted add sequence the
+    host loop performs. ``rand_part`` carries the host RNG draws so the
+    stream order matches the host path draw-for-draw."""
+    n = tree.n_nodes
+    k = centers.shape[0]
+    vals = [None] * n
+    for li, leaf in enumerate(tree.leaf_nodes):
+        vals[int(leaf)] = centers[:, li]
+    flags = [0 if v is None else 2 for v in vals]
+    for j in range(n - 1, 0, -1):
+        p = int(tree.parent[j])
+        if flags[p] == 0:
+            vals[p] = vals[j]
+            flags[p] = 1
+        elif flags[p] == 1:
+            vals[p] = 0.5 * vals[p] + 0.5 * vals[j]
+            flags[p] = 2
+    zero = jnp.zeros((k,), centers.dtype)
+    mean_full = jnp.stack(
+        [v if v is not None else zero for v in vals], axis=1)
+    return jnp.concatenate([rand_part[:, :n_params - n], mean_full], axis=1)
+
+
 class PhyloHMRF:
     """Phylo-HMRF model over a set of region grids."""
 
@@ -444,6 +491,7 @@ class PhyloHMRF:
         X, init_slices = self._init_arrays()
         K = self.n_states
 
+        pre = None
         if cfg.kmeans_backend == "sklearn":
             # reference-parity init (`phylo_hmrf.py:234-240`)
             from sklearn.cluster import MiniBatchKMeans
@@ -453,25 +501,57 @@ class PhyloHMRF:
             centers = np.asarray(km.cluster_centers_, np.float64)
             labels = np.asarray(km.labels_)
         else:
+            # fully device-resident init pipeline: k-means -> per-cluster
+            # stats -> tree-propagated guesses -> attempt-0 OU init solve,
+            # all dispatched async, then ONE blocking device_get. Over the
+            # remote tunnel each D2H fetch pays a 0.1-8 s round trip, so
+            # the old (fetch labels -> host stats -> fetch solve) chain
+            # made init wall nondeterministic (measured 7-46 s canonical).
             key = jax.random.PRNGKey(cfg.seed)
-            centers, labels, _ = kmeans(key, jnp.asarray(X), K)
-            # one device_get for both outputs: over a remote tunnel each
-            # D2H fetch pays a round-trip whose latency is wildly variable
-            # (measured 0.1-8 s for a 320-byte array)
-            centers, labels = jax.device_get((centers, labels))
+            X_dev = jnp.asarray(X)
+            centers_d, labels_d, _ = kmeans(key, X_dev, K)
+            xbar_d, xxT_d, cnt_d = _init_cluster_stats(X_dev, labels_d, K)
+            # host RNG draws in the legacy order (params first, then one
+            # guess per cluster) so the stream matches the host path
+            params_draw = self._rng.random((K, self.n_params))
+            rand_part = np.stack([
+                cfg.initial_magnitude * self._rng.random(self.n_params)
+                for _ in range(K)])
+            guesses_d = _init_guess(
+                centers_d.astype(jnp.float64),
+                jnp.asarray(rand_part, jnp.float64),
+                tree=self.tree, n_params=self.n_params)
+            solved_d, _ = _init_solve(
+                guesses_d.astype(self._dtype), xbar_d.astype(self._dtype),
+                xxT_d.astype(self._dtype),
+                jnp.asarray(cfg.min_covar, self._dtype),
+                tree=self.tree, lo=cfg.param_lo, hi=cfg.param_hi,
+                iters=cfg.mstep_iters)
+            (centers, labels, xbar, xxT, cnt, guesses, solved0) = \
+                jax.device_get((centers_d, labels_d, xbar_d, xxT_d, cnt_d,
+                                guesses_d, solved_d))
             centers = np.asarray(centers, np.float64)
+            pre = dict(
+                xbar=np.asarray(xbar, np.float64),
+                xxT=np.asarray(xxT, np.float64),
+                occupied=np.asarray(cnt) > 0,
+                params=np.asarray(params_draw, np.float64),
+                guesses=np.asarray(guesses, np.float64),
+                solved0=np.asarray(solved0, np.float64))
 
         # multi-process hook: the k-means result seeds labels_local, so any
         # cross-process tie-break/compilation nondeterminism here would
         # fork the warm starts (and the whole trajectory); the multiproc
-        # subclass broadcasts process 0's result bit-exactly
+        # subclass broadcasts process 0's result bit-exactly (the OU init
+        # params computed from pre-sync stats are themselves broadcast from
+        # process 0 right after `initialize`, multiproc.py)
         centers, labels = self._sync_init(centers, labels)
 
         self.means_ = centers.copy()
         cv = np.cov(X.T) + cfg.min_covar * np.eye(self.n_features)
         self.covars_ = np.tile(cv, (K, 1, 1))
 
-        self.init_ou_params = self._fit_init_params(X, labels, centers)
+        self.init_ou_params = self._fit_init_params(X, labels, centers, pre)
         self.params_vec = self.init_ou_params.copy()
 
         # warm-start label grids per region
@@ -486,40 +566,54 @@ class PhyloHMRF:
         k-means result so every process warm-starts identically."""
         return centers, labels
 
-    def _fit_init_params(self, X, labels, centers) -> np.ndarray:
+    def _fit_init_params(self, X, labels, centers, pre=None) -> np.ndarray:
         """Per-cluster OU fits (reference `_init_ou_param` + `_ou_optimize_init`,
-        phylo_hmrf.py:184-203, 1427-1498), vmapped over clusters."""
+        phylo_hmrf.py:184-203, 1427-1498), vmapped over clusters.
+
+        ``pre`` (from the fused device init pipeline in ``initialize``)
+        carries the already-fetched cluster stats, RNG draws, guesses and
+        the attempt-0 solve, so the common path adds zero device round
+        trips here; retries (rare: a cluster failing `check_params`) fall
+        back to host-dispatched solves."""
         cfg = self.cfg
         K = self.n_states
         F = self.n_features
         P = self.n_params
-        xbar = np.zeros((K, F))
-        xxT = np.zeros((K, F, F))
-        occupied = np.zeros(K, dtype=bool)
-        for c in range(K):
-            sel = labels == c
-            if sel.sum() == 0:
-                continue
-            occupied[c] = True
-            Xc = X[sel]
-            xbar[c] = Xc.mean(0)
-            xxT[c] = Xc.T @ Xc / Xc.shape[0]
+        if pre is not None:
+            xbar, xxT, occupied = pre["xbar"], pre["xxT"], pre["occupied"]
+            params, guesses = pre["params"].copy(), pre["guesses"].copy()
+        else:
+            xbar = np.zeros((K, F))
+            xxT = np.zeros((K, F, F))
+            occupied = np.zeros(K, dtype=bool)
+            for c in range(K):
+                sel = labels == c
+                if sel.sum() == 0:
+                    continue
+                occupied[c] = True
+                Xc = X[sel]
+                xbar[c] = Xc.mean(0)
+                xxT[c] = Xc.T @ Xc / Xc.shape[0]
 
-        params = self._rng.random((K, P))  # reference ctor random init (:109)
-        guesses = np.stack([
-            propagate_mean_guess(centers[c], self.tree, self._rng,
-                                 cfg.initial_magnitude, P)
-            for c in range(K)])
+            # reference ctor random init (:109)
+            params = self._rng.random((K, P))
+            guesses = np.stack([
+                propagate_mean_guess(centers[c], self.tree, self._rng,
+                                     cfg.initial_magnitude, P)
+                for c in range(K)])
 
         for attempt in range(cfg.mstep_retries):
-            solved, _ = _init_solve(
-                jnp.asarray(guesses, self._dtype),
-                jnp.asarray(xbar, self._dtype),
-                jnp.asarray(xxT, self._dtype),
-                jnp.asarray(cfg.min_covar, self._dtype),
-                tree=self.tree, lo=cfg.param_lo, hi=cfg.param_hi,
-                iters=cfg.mstep_iters)
-            solved = np.asarray(solved, np.float64)
+            if attempt == 0 and pre is not None:
+                solved = pre["solved0"]
+            else:
+                solved, _ = _init_solve(
+                    jnp.asarray(guesses, self._dtype),
+                    jnp.asarray(xbar, self._dtype),
+                    jnp.asarray(xxT, self._dtype),
+                    jnp.asarray(cfg.min_covar, self._dtype),
+                    tree=self.tree, lo=cfg.param_lo, hi=cfg.param_hi,
+                    iters=cfg.mstep_iters)
+                solved = np.asarray(solved, np.float64)
             bad = []
             for c in range(K):
                 if not occupied[c]:

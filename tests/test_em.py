@@ -381,3 +381,76 @@ def test_prewarm_identical_fit(example_tree, rng):
     np.testing.assert_array_equal(out[True].cost_vec, out[False].cost_vec)
     np.testing.assert_array_equal(out[True].labels, out[False].labels)
     np.testing.assert_array_equal(out[True].params_vec, out[False].params_vec)
+
+
+@pytest.mark.smoke
+def test_fused_init_helpers_match_host(example_tree, rng):
+    """The device init pipeline (`_init_cluster_stats` + `_init_guess`)
+    must reproduce the host-loop stats and `propagate_mean_guess` exactly —
+    it exists so `initialize` blocks on ONE device_get, not to change
+    numerics."""
+    import jax
+    import jax.numpy as jnp
+    from phylo_hmrf_tpu.models.hmrf import _init_cluster_stats, _init_guess
+    from phylo_hmrf_tpu.models.ou import propagate_mean_guess
+
+    tree = example_tree
+    K, F, N = 4, tree.n_leaves, 500
+    P = tree.n_params
+    X = rng.normal(size=(N, F)).astype(np.float64)
+    labels = rng.integers(0, K, size=N).astype(np.int32)
+    labels[labels == 2] = 0          # leave cluster 2 empty
+
+    # bitwise under x64 (the f64 strict-parity mode); f32 otherwise
+    rtol = 1e-12 if jax.config.jax_enable_x64 else 5e-6
+    xbar_d, xxT_d, cnt_d = jax.device_get(
+        _init_cluster_stats(jnp.asarray(X), jnp.asarray(labels), K))
+    for c in range(K):
+        sel = labels == c
+        if sel.sum() == 0:
+            assert cnt_d[c] == 0
+            continue
+        Xc = X[sel]
+        np.testing.assert_allclose(xbar_d[c], Xc.mean(0), rtol=rtol)
+        np.testing.assert_allclose(xxT_d[c], Xc.T @ Xc / Xc.shape[0],
+                                   rtol=rtol)
+        assert cnt_d[c] == sel.sum()
+
+    centers = rng.normal(size=(K, F))
+    w2 = 0.3
+    draws_unit = rng.random((K, P))
+    got = jax.device_get(_init_guess(
+        jnp.asarray(centers, jnp.float64),
+        jnp.asarray(w2 * draws_unit, jnp.float64),
+        tree=tree, n_params=P))
+
+    class _Replay:
+        def __init__(self, row):
+            self.row = row
+
+        def random(self, n):
+            return self.row.copy()
+
+    for c in range(K):
+        want = propagate_mean_guess(centers[c], tree, _Replay(draws_unit[c]),
+                                    w2, P)
+        if jax.config.jax_enable_x64:
+            np.testing.assert_array_equal(got[c], want)
+        else:
+            np.testing.assert_allclose(got[c], want, rtol=5e-6)
+
+
+@pytest.mark.smoke
+def test_fused_init_single_fetch(example_tree, rng):
+    """initialize() with the jax k-means backend runs end to end and seeds
+    a working EM (covers the fused one-device_get pipeline)."""
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
+    from phylo_hmrf_tpu.config import PhyloHMRFConfig
+    from phylo_hmrf_tpu.models.hmrf import PhyloHMRF
+    cfg = PhyloHMRFConfig(n_states=3, max_iter=2, seed=0,
+                          kmeans_backend="jax")
+    m = PhyloHMRF(example_tree, regions, cfg)
+    m.initialize()
+    assert m.init_ou_params.shape == (3, example_tree.n_params)
+    assert np.isfinite(m.init_ou_params).all()
+    assert len(m.labels_local) == len(regions)
