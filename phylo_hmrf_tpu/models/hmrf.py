@@ -282,7 +282,8 @@ def _init_cluster_stats(X, labels, k: int):
     exactly ONE device_get — over the remote tunnel each D2H fetch pays a
     0.1-8 s round trip (PARITY §Canonical), and the old host path needed
     the labels before it could form the M-step init stats."""
-    Xd = X.astype(jnp.float64)
+    f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    Xd = X.astype(f64)
     onehot = jax.nn.one_hot(labels, k, dtype=Xd.dtype)
     cnt = onehot.sum(0)
     denom = jnp.maximum(cnt, 1.0)
@@ -517,9 +518,9 @@ class PhyloHMRF:
             rand_part = np.stack([
                 cfg.initial_magnitude * self._rng.random(self.n_params)
                 for _ in range(K)])
+            f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
             guesses_d = _init_guess(
-                centers_d.astype(jnp.float64),
-                jnp.asarray(rand_part, jnp.float64),
+                centers_d.astype(f64), jnp.asarray(rand_part, f64),
                 tree=self.tree, n_params=self.n_params)
             solved_d, _ = _init_solve(
                 guesses_d.astype(self._dtype), xbar_d.astype(self._dtype),
