@@ -153,22 +153,35 @@ def run(opts) -> str:
         None if int(opts.process_id) < 0 else int(opts.process_id))
 
     local_chroms = chrom_vec
+    region_filters = None
     cache_scope = opts.output
     if dist["process_count"] > 1:
-        from phylo_hmrf_tpu.parallel.multiproc import partition_chromosomes
+        from phylo_hmrf_tpu.parallel.multiproc import (
+            partition_chromosome_regions, partition_chromosomes)
         if dist["process_count"] > len(chrom_vec):
-            raise ValueError(
-                f"{dist['process_count']} processes for {len(chrom_vec)} "
-                f"chromosomes — the data-parallel partition is per "
-                f"chromosome; use at most one process per chromosome")
-        local_chroms = partition_chromosomes(
-            chrom_vec, data_path, cfg, dist["process_count"],
-            dist["process_index"])
+            # pod-scale: more processes than chromosomes — fan out at
+            # REGION granularity (the reference's finer per-region worker
+            # boundary, utility.py:422-435). Processes beyond the region
+            # count get an empty share and still join every collective.
+            local_chroms, region_filters = partition_chromosome_regions(
+                chrom_vec, data_path, cfg, dist["process_count"],
+                dist["process_index"])
+        else:
+            local_chroms = partition_chromosomes(
+                chrom_vec, data_path, cfg, dist["process_count"],
+                dist["process_index"])
         # preprocessing caches are per-process AND per-partition: the dir
-        # name carries the local chromosome set so a --reload 1 rerun with
-        # a different --num_processes misses the cache (and rebuilds)
-        # instead of silently loading another partition's regions
-        chrom_tag = "-".join(str(c) for c in local_chroms)
+        # name carries the local chromosome set (plus a region-filter hash
+        # for pod-scale partitions) so a --reload 1 rerun with a different
+        # --num_processes misses the cache (and rebuilds) instead of
+        # silently loading another partition's regions
+        chrom_tag = "-".join(str(c) for c in local_chroms) or "none"
+        if region_filters is not None:
+            import hashlib
+            h = hashlib.sha1(repr(sorted(
+                (c, tuple(v)) for c, v in region_filters.items()))
+                .encode()).hexdigest()[:8]
+            chrom_tag += f"_r{h}"
         cache_scope = os.path.join(
             opts.output, f"proc{dist['process_index']}_c{chrom_tag}")
 
@@ -217,8 +230,10 @@ def run(opts) -> str:
     if regions is None:
         regions, _ = load_dataset(local_chroms, cfg, ref_filename, paths,
                                   species, data_path, x_max,
-                                  n_workers=int(opts.n_workers))
-        save_cache(regions, cache_scope, cfg)
+                                  n_workers=int(opts.n_workers),
+                                  region_filters=region_filters)
+        if regions:
+            save_cache(regions, cache_scope, cfg)
 
     mesh = None
     # persistent compilation cache: the exact-swap kernels take ~30-45 s to

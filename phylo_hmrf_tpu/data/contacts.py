@@ -115,10 +115,15 @@ def quantile_contact(chrom, resolution: int, chrom_sizes_file: str,
 
 def quantile_contact_vec(chrom_vec, resolution, chrom_sizes_file, paths,
                          species, legacy: bool = True) -> np.ndarray:
-    """Stacked per-chromosome stats (reference `quantile_contact_vec`)."""
+    """Stacked per-chromosome stats (reference `quantile_contact_vec`).
+    An empty chrom_vec yields a (0, 10) array — pod-scale partitions can
+    leave a process with no chromosomes, and its allgather rows must keep
+    the trailing dim."""
     rows = [quantile_contact(c, resolution, chrom_sizes_file, paths, species,
                              legacy)
             for c in chrom_vec]
+    if not rows:
+        return np.zeros((0, 10))
     return np.concatenate(rows, axis=0)
 
 

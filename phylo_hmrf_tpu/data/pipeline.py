@@ -106,9 +106,14 @@ def _load_one_region(args):
 
 def load_chromosome(chrom, cfg: PhyloHMRFConfig, chrom_sizes_file: str,
                     paths, species, synteny_dir: str, x_max: float,
-                    n_workers: int = 0):
+                    n_workers: int = 0, region_filter=None):
     """All RegionGrids for one chromosome (reference
-    ``load_data_chromosome_sub1_2``, utility.py:335-468)."""
+    ``load_data_chromosome_sub1_2``, utility.py:335-468).
+
+    ``region_filter`` (a collection of region_ids) keeps only those
+    regions — the pod-scale region-granularity partition
+    (`multiproc.partition_chromosome_regions`) loads one chromosome's
+    contact list on several processes but rasterizes disjoint regions."""
     position, values = align_species_contacts(
         chrom, cfg.resolution, chrom_sizes_file, paths, species,
         cfg.legacy_bin_count)
@@ -121,6 +126,9 @@ def load_chromosome(chrom, cfg: PhyloHMRFConfig, chrom_sizes_file: str,
                              cfg.centromere_splits)
     if cfg.diagonal_type == 1:
         pairs = [p for p in pairs if p[0] == p[2] and p[1] == p[3]]
+    if region_filter is not None:
+        keep = set(int(r) for r in region_filter)
+        pairs = [p for p in pairs if int(p[7]) in keep]
 
     args = [(x, position, p, cfg.to_dict(), chrom) for p in pairs]
     if n_workers > 1:
@@ -133,7 +141,7 @@ def load_chromosome(chrom, cfg: PhyloHMRFConfig, chrom_sizes_file: str,
 
 def load_dataset(chrom_vec, cfg: PhyloHMRFConfig, chrom_sizes_file: str,
                  paths, species, synteny_dir: str, x_max: float | None = None,
-                 n_workers: int = 0):
+                 n_workers: int = 0, region_filters=None):
     """Load all chromosomes. Returns (regions, x_max). When x_max is None it
     is computed from the quantile stats (reference `phylo_hmrf.py:1658-1664`).
 
@@ -150,6 +158,10 @@ def load_dataset(chrom_vec, cfg: PhyloHMRFConfig, chrom_sizes_file: str,
                                      chrom_sizes_file, paths, species,
                                      cfg.legacy_bin_count)
         x_max = x_max_from_quantiles(m_vec)
+    def _filter(chrom):
+        return None if region_filters is None else region_filters.get(
+            int(chrom))
+
     regions = []
     if n_workers > 1 and len(chrom_vec) > 1:
         import multiprocessing as mp
@@ -158,7 +170,7 @@ def load_dataset(chrom_vec, cfg: PhyloHMRFConfig, chrom_sizes_file: str,
                                  mp_context=ctx) as pool:
             futs = [pool.submit(load_chromosome, chrom, cfg,
                                 chrom_sizes_file, paths, species,
-                                synteny_dir, x_max, 0)
+                                synteny_dir, x_max, 0, _filter(chrom))
                     for chrom in chrom_vec]
             for f in futs:
                 regions.extend(f.result())
@@ -166,7 +178,7 @@ def load_dataset(chrom_vec, cfg: PhyloHMRFConfig, chrom_sizes_file: str,
     for chrom in chrom_vec:
         regions.extend(load_chromosome(chrom, cfg, chrom_sizes_file, paths,
                                        species, synteny_dir, x_max,
-                                       n_workers))
+                                       n_workers, _filter(chrom)))
     return regions, x_max
 
 

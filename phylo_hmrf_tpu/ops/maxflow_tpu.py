@@ -513,12 +513,15 @@ def _energy_hist(labels, unary_k, wmaps, mask, beta, *, n_states: int):
     """Per-region MRF energy (R,) + label histogram (n_states,) summed over
     the batch, from the K-major unary (same values as ops.potts.potts_energy
     — the invalid-edge weights are 0, so border fills never contribute)."""
+    from phylo_hmrf_tpu.ops.potts import _pinned, _pinned_grid_sum
+    gsum = _pinned_grid_sum if _pinned(unary_k.dtype) else jnp.sum
+
     def one(l, u, w, m):
         u_cur = jnp.take_along_axis(u, l[None].astype(jnp.int32), axis=0)[0]
-        e = jnp.sum(jnp.where(m, u_cur, 0.0))
+        e = gsum(jnp.where(m, u_cur, 0.0))
         for d, (di, dj) in enumerate(DIRS):
             nb = _shift_fwd(l, di, dj, -1)
-            e = e + beta * jnp.sum(w[d] * (l != nb).astype(u.dtype))
+            e = e + beta * gsum(w[d] * (l != nb).astype(u.dtype))
         hist = jnp.zeros((n_states,), jnp.int32).at[l].add(
             m.astype(jnp.int32), mode="drop")
         return e, hist

@@ -84,6 +84,28 @@ def neighbor_sums_soft(q: jnp.ndarray, wmaps: jnp.ndarray):
     return agree, wsum
 
 
+def _pinned_grid_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """Full pixel-grid sum with a PINNED reduction order: per-row sums
+    (axis=1 — a Reduce with one output per row, which XLA evaluates
+    sequentially per output element) combined by a sequential lax.scan
+    over rows.
+
+    A plain ``jnp.sum`` over the whole grid is a single-output Reduce whose
+    input the CPU backend splits across its thread pool, and the split
+    points follow the pool size — so under
+    ``--xla_force_host_platform_device_count=N`` the f64 result (hence the
+    EM trajectory) varies with N. The f64 strict-parity mode routes its
+    cost/stat reductions through here so single-device and CI-mesh runs
+    are bitwise identical (VERDICT r3 item 4)."""
+    row = jnp.sum(x, axis=1)
+    return jax.lax.scan(lambda a, r: (a + r, None),
+                        jnp.zeros_like(row[0]), row)[0]
+
+
+def _pinned(dtype) -> bool:
+    return jnp.dtype(dtype) == jnp.float64
+
+
 def pairwise_potential(labels: jnp.ndarray, wmaps: jnp.ndarray,
                        n_states: int, beta: float) -> jnp.ndarray:
     """pp[p, c] = sum_{edges at p} w_e * V[c, label(other)] with the Potts
@@ -101,14 +123,15 @@ def potts_energy(labels: jnp.ndarray, unary: jnp.ndarray, wmaps: jnp.ndarray,
     This is the objective the reference minimizes with alpha-beta swap graph
     cuts (`pygco.cut_general_graph`, `phylo_hmrf.py:496`).
     """
+    gsum = _pinned_grid_sum if _pinned(unary.dtype) else jnp.sum
     onehot = jax.nn.one_hot(labels, unary.shape[-1], dtype=unary.dtype)
     u = jnp.sum(unary * onehot, axis=-1)
-    e_unary = jnp.sum(jnp.where(mask, u, 0.0))
+    e_unary = gsum(jnp.where(mask, u, 0.0))
     e_pair = 0.0
     for d, (di, dj) in enumerate(DIRS):
         nb = _shift_fwd(labels, di, dj, -1)
         diff = (labels != nb).astype(wmaps.dtype)
-        e_pair += jnp.sum(wmaps[d] * diff)
+        e_pair += gsum(wmaps[d] * diff)
     return e_unary + beta * e_pair
 
 
@@ -126,6 +149,7 @@ def posteriors_and_costs(logprob: jnp.ndarray, labels: jnp.ndarray,
       cost1             = unary_cost + pairwise_cost_nrm
     Means are over valid pixels. Returns (posteriors, cost_vec(4,), n_valid).
     """
+    gsum = _pinned_grid_sum if _pinned(logprob.dtype) else jnp.sum
     m = mask.astype(logprob.dtype)
     n_valid = jnp.sum(m)
     # all-false masks occur in device-padding regions; keep costs finite
@@ -140,9 +164,9 @@ def posteriors_and_costs(logprob: jnp.ndarray, labels: jnp.ndarray,
     lp_map = jnp.sum(logprob * onehot, axis=-1)
     ppn_map = jnp.sum(pp_norm * onehot, axis=-1)
 
-    pairwise_cost = jnp.sum(jnp.where(mask, pp_map, 0.0)) / n_valid_safe
-    unary_cost = -jnp.sum(jnp.where(mask, lp_map, 0.0)) / n_valid_safe
-    pairwise_cost_nrm = -jnp.sum(
+    pairwise_cost = gsum(jnp.where(mask, pp_map, 0.0)) / n_valid_safe
+    unary_cost = -gsum(jnp.where(mask, lp_map, 0.0)) / n_valid_safe
+    pairwise_cost_nrm = -gsum(
         jnp.where(mask, jnp.log(ppn_map + small_eps), 0.0)) / n_valid_safe
     cost1 = unary_cost + pairwise_cost_nrm
     cost_vec = jnp.stack(
@@ -154,9 +178,13 @@ def sufficient_stats(posteriors: jnp.ndarray, img: jnp.ndarray,
                      mask: jnp.ndarray):
     """Masked sufficient statistics (reference `phylo_hmrf.py:311-314`):
     post (K,), obs (K, F), obs2 (K, F, F). Formulated as two matmuls so the
-    MXU does the work."""
+    MXU does the work; the f64 strict-parity mode takes a pinned-order
+    row-scan instead (matmul reduction splits follow the backend thread
+    pool — see `_pinned_grid_sum`)."""
     K = posteriors.shape[-1]
     F = img.shape[-1]
+    if _pinned(posteriors.dtype):
+        return _sufficient_stats_pinned(posteriors, img, mask)
     g = jnp.where(mask[..., None], posteriors, 0.0).reshape(-1, K)
     x = img.reshape(-1, F)
     post = jnp.sum(g, axis=0)
@@ -165,4 +193,29 @@ def sufficient_stats(posteriors: jnp.ndarray, img: jnp.ndarray,
     xx = (x[:, :, None] * x[:, None, :]).reshape(-1, F * F)
     obs2 = jnp.einsum("nk,nq->kq", g, xx,
                       precision=jax.lax.Precision.HIGHEST).reshape(K, F, F)
+    return post, obs, obs2
+
+
+def _sufficient_stats_pinned(posteriors: jnp.ndarray, img: jnp.ndarray,
+                             mask: jnp.ndarray):
+    """Device-count-invariant f64 stats: per-row (axis=W) reductions are
+    per-output-element (sequential in XLA), rows combine in a sequential
+    scan — the same fixed-order-accumulation idea as the multi-process
+    per-region host sums (`multiproc._global_stats`), one level down."""
+    K = posteriors.shape[-1]
+    F = img.shape[-1]
+    g3 = jnp.where(mask[..., None], posteriors, 0.0)      # (H, W, K)
+
+    def body(carry, gw):
+        g_r, x_r = gw                                      # (W, K), (W, F)
+        p, o, o2 = carry
+        p = p + jnp.sum(g_r, axis=0)
+        o = o + jnp.sum(g_r[:, :, None] * x_r[:, None, :], axis=0)
+        xx_r = x_r[:, :, None] * x_r[:, None, :]           # (W, F, F)
+        o2 = o2 + jnp.sum(g_r[:, :, None, None] * xx_r[:, None], axis=0)
+        return (p, o, o2), None
+
+    init = (jnp.zeros((K,), g3.dtype), jnp.zeros((K, F), g3.dtype),
+            jnp.zeros((K, F, F), g3.dtype))
+    (post, obs, obs2), _ = jax.lax.scan(body, init, (g3, img))
     return post, obs, obs2

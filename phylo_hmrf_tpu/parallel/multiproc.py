@@ -295,6 +295,59 @@ def partition_chromosomes(chrom_vec, synteny_dir: str, cfg,
     return local
 
 
+def estimate_region_samples(chrom, synteny_dir: str, cfg):
+    """Per-region structural sample estimates for one chromosome:
+    [(region_id, n_est), ...] in synteny order (same estimate as
+    `estimate_chrom_samples`, per region instead of summed)."""
+    import os
+
+    from phylo_hmrf_tpu.data.synteny import subregion1
+
+    path = os.path.join(synteny_dir, f"chr{chrom}.synteny.txt")
+    _, pairs = subregion1(path, chrom, cfg.resolution,
+                          cfg.centromere_splits)
+    if cfg.diagonal_type == 1:
+        pairs = [p for p in pairs if p[0] == p[2] and p[1] == p[3]]
+    out = []
+    for p in pairs:
+        h = (p[1] - p[0]) // cfg.resolution + 1
+        w = (p[3] - p[2]) // cfg.resolution + 1
+        n = h * (h + 1) // 2 if (p[0] == p[2] and p[1] == p[3]) else h * w
+        out.append((int(p[7]), int(n)))
+    return out
+
+
+def partition_chromosome_regions(chrom_vec, synteny_dir: str, cfg,
+                                 n_processes: int, process_id: int):
+    """Region-granularity partition for pod-scale runs with more processes
+    than chromosomes (the reference's own finer fan-out: one worker per
+    region within a chromosome, utility.py:422-435). All (chromosome,
+    region) units across chrom_vec are snake-dealt by estimated sample
+    count, decided from synteny metadata alone BEFORE any contact loading.
+
+    Returns (local_chroms, region_filters): the chromosomes this process
+    must load (in chrom_vec order; may be empty when there are more
+    processes than regions) and {chrom: sorted [region_id, ...]} naming
+    which of each chromosome's regions to keep. A process with an empty
+    share still participates in every collective (zero-row allgathers)."""
+    units = []                              # (chrom, region_id, n_est)
+    for c in chrom_vec:
+        for rid, n in estimate_region_samples(c, synteny_dir, cfg):
+            units.append((c, rid, n))
+    order = sorted(range(len(units)), key=lambda i: (-units[i][2], i))
+    filters = {}
+    for rank, idx in enumerate(order):
+        lap, pos = divmod(rank, n_processes)
+        owner = pos if lap % 2 == 0 else n_processes - 1 - pos
+        if owner == process_id:
+            c, rid, _ = units[idx]
+            filters.setdefault(c, []).append(rid)
+    for c in filters:
+        filters[c].sort()
+    local_chroms = [c for c in chrom_vec if c in filters]
+    return local_chroms, filters
+
+
 def _allgather_ragged(arr: np.ndarray):
     """Gather a per-process array whose LEADING dimension differs across
     processes; trailing dims must match. Returns the per-process list (pad

@@ -262,16 +262,22 @@ def test_chr22_f64_em_lockstep(chr22_setup):
     ca, cb = fits["cpp"].cost_vec, fits["dev"].cost_vec
     n = min(len(ca), len(cb))
     delta = np.abs(cb[:n, 3] - ca[:n, 3]).max()
-    # measured 0.0040 single-device; 0.0161 under the 8-virtual-device CPU
-    # env (device count changes XLA reduction splits -> rounding ->
-    # tie-breaks between equal-energy labelings). Gate = CI-env + ~2x.
-    assert delta <= 0.03, (delta, ca[:n, 3], cb[:n, 3])
+    # The f64 E-step cost/stat reductions run in a PINNED order
+    # (ops/potts._pinned_grid_sum / _sufficient_stats_pinned): XLA's plain
+    # full-grid sums split across the backend thread pool, whose size
+    # follows --xla_force_host_platform_device_count, so the round-3 gate
+    # had to absorb 0.0161 of env-induced drift. Measured with pinning:
+    # 0.0024 under the 8-virtual-device CI env, 0.0072 single-device (the
+    # residual env difference is the f32 k-means init stage — its Eigen
+    # segment-sum matmuls still k-slice by thread count, shifting the
+    # shared init basin, not the cpp/dev divergence).
+    assert delta <= 0.008, (delta, ca[:n, 3], cb[:n, 3])
     per_it = [best_match_accuracy(fits["cpp"].state_list[i],
                                   fits["dev"].state_list[i])
               for i in range(n)]
-    assert min(per_it) >= 0.95, per_it
+    assert min(per_it) >= 0.98, per_it
     agree = best_match_accuracy(fits["cpp"].labels, fits["dev"].labels)
-    assert agree >= 0.95, agree
+    assert agree >= 0.99, agree
     print(f"[f64 lockstep] delta={delta:.4f} per-it agree min="
           f"{min(per_it):.4f} final agree={agree:.4f}")
 
