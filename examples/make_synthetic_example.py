@@ -31,6 +31,11 @@ def main():
                          "hg38 relative length (chr1 gets --n-bins, chr22 "
                          "~0.20x of it) — for genome-shaped dress "
                          "rehearsals with distinct region sizes")
+    ap.add_argument("--blocks-per-chrom", type=int, default=1,
+                    help="write N synteny blocks per chromosome — "
+                         "pod-scale region-granularity partitions "
+                         "(more processes than chromosomes) need "
+                         "several regions per chromosome to fan out")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -111,8 +116,14 @@ def main():
                     f.write(f"{a * res}\t{b * res}\t{val:.4f}\n")
 
         start, stop = 2 * res, (n - 2) * res
+        nb = max(1, args.blocks_per_chrom)
+        # contiguous blocks on resolution boundaries; each row is its own
+        # synteny block -> its own region
+        cuts = [start + ((stop - start) * i // nb) // res * res
+                for i in range(nb)] + [stop]
         with open(os.path.join(out, f"chr{c}.synteny.txt"), "w") as f:
-            f.write(f"{start}\t{stop}\t{stop - start}\n")
+            for a, b in zip(cuts[:-1], cuts[1:]):
+                f.write(f"{a}\t{b}\t{b - a}\n")
 
     np.save(os.path.join(out, "true_params.npy"), params)
     print(f"wrote synthetic example to {out}/ "

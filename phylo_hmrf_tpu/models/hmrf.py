@@ -375,9 +375,12 @@ class PhyloHMRF:
         # for the cost normalization and the M-step's 1/n, lambda_0/sqrt(n)
         self.n_samples_total = self.n_samples
 
+        # (0, 10) when this process's pod-scale share is empty (more
+        # processes than regions) — downstream gathers need the column dim
         self.len_vec = np.asarray([
             r.len_vec_row(int(self.offsets[i]), int(self.offsets[i + 1]))
-            for i, r in enumerate(self.regions)], dtype=np.int64)
+            for i, r in enumerate(self.regions)],
+            dtype=np.int64).reshape(-1, 10)
 
         # shape buckets for jitted batching; with a mesh, bucket leading axes
         # are padded to the mesh size and placed region-sharded on devices
@@ -476,6 +479,11 @@ class PhyloHMRF:
     # ------------------------------------------------------------------
 
     def flat_values(self) -> np.ndarray:
+        if not self.regions:
+            # pod-scale multi-process runs can deal this process an EMPTY
+            # region share; the (0, F) shape keeps the init allgather and
+            # the downstream reductions well-formed
+            return np.zeros((0, self.n_features), np.float32)
         return np.concatenate([r.flat_values() for r in self.regions], axis=0)
 
     def _init_arrays(self):
@@ -1205,7 +1213,8 @@ class PhyloHMRF:
             if track_states:
                 state_list.append(np.concatenate([
                     self.regions[i].labels_to_flat(label_grids[i])
-                    for i in range(len(self.regions))]))
+                    for i in range(len(self.regions))])
+                    if self.regions else np.zeros(0, np.int32))
                 hist_rec.append(state_list[-1])
             hist_pending.append(hist_rec)
 
@@ -1282,9 +1291,10 @@ class PhyloHMRF:
                     jnp.asarray(self.covars_, self._dtype), t_label_grids,
                     method=cfg.polish_method)
 
-        labels_flat = np.concatenate([
+        labels_flat = (np.concatenate([
             self.regions[i].labels_to_flat(t_label_grids[i])
-            for i in range(len(self.regions))])
+            for i in range(len(self.regions))]) if self.regions
+            else np.zeros(0, np.int32))
 
         return FitResult(
             params_vec=params_best, params_vec1=params_best1,
@@ -1341,9 +1351,10 @@ class PhyloHMRF:
         warm = self.labels_local or [
             np.zeros(r.shape, np.int32) for r in self.regions]
         label_grids, _, _, _ = self.estep(self.means_, self.covars_, warm)
-        return np.concatenate([
+        return (np.concatenate([
             self.regions[i].labels_to_flat(label_grids[i])
-            for i in range(len(self.regions))])
+            for i in range(len(self.regions))]) if self.regions
+            else np.zeros(0, np.int32))
 
     def score_samples(self, labels_flat: np.ndarray | None = None):
         """(total log probability, per-sample posteriors).

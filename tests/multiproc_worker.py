@@ -57,6 +57,12 @@ def main():
     ap.add_argument("--collective-timeout", type=float, default=0,
                     help="set PHMRF_COLLECTIVE_TIMEOUT_S for this worker")
     ap.add_argument("--init", choices=["fixed", "kmeans"], default="fixed")
+    ap.add_argument("--spatial", action="store_true",
+                    help="row-shard each local region over this process's "
+                         "devices (shard_mode='spatial') — composes halo "
+                         "sharding with cross-process data parallelism")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="virtual CPU devices per process")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -65,7 +71,8 @@ def main():
         os.environ["PHMRF_COLLECTIVE_TIMEOUT_S"] = str(
             args.collective_timeout)
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={args.devices}")
     import jax
     jax.config.update("jax_platforms", "cpu")
 
@@ -85,8 +92,17 @@ def main():
     cfg = PhyloHMRFConfig(n_states=3, seed=1, max_iter=args.miter,
                           min_iter=99, threshold=0, patience=99,
                           mstep_iters=25, pad_h=8, pad_w=8,
-                          final_polish=False)
-    model = MultiProcessPhyloHMRF(tree, local, cfg, n_samples_total=total)
+                          final_polish=False,
+                          shard_mode="spatial" if args.spatial else "region")
+    mesh = None
+    if args.spatial:
+        from phylo_hmrf_tpu.parallel.mesh import make_mesh
+        # each process's mesh spans only ITS OWN (addressable) devices —
+        # the composition under test is per-process halo sharding x
+        # cross-process data parallelism
+        mesh = make_mesh(devices=jax.local_devices())
+    model = MultiProcessPhyloHMRF(tree, local, cfg, n_samples_total=total,
+                                  mesh=mesh)
     if args.init == "kmeans":
         model.initialize()   # local k-means, process-0 params broadcast
     else:
