@@ -1121,7 +1121,8 @@ class PhyloHMRF:
         else:
             if self.params_vec is None:
                 t0 = time.time()
-                self.initialize()
+                with self.timer.phase("init"):
+                    self.initialize()
                 if verbose:
                     print(f"[init] k-means + OU init in "
                           f"{time.time() - t0:.2f}s")

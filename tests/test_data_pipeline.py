@@ -60,6 +60,7 @@ def test_bin_count_legacy_quirk():
     assert bin_count(1050, 100, legacy=False) == 11
 
 
+@pytest.mark.smoke
 def test_align_union_and_fill(tiny_dataset, rng):
     d = tiny_dataset
     position, values = align_species_contacts(

@@ -39,14 +39,38 @@ def synth_problem(tree, rng, K=3, H0=24, noise=0.35):
     return params, means, covs, regions, np.concatenate(true_flat)
 
 
-def test_em_fits_synthetic(example_tree, rng):
+@pytest.fixture(scope="module")
+def fitted_synth(example_tree):
+    """One shared full fit (H0=24, max_iter=8) for the read-only EM API
+    tests — fitting once instead of per-test keeps the quick loop fast."""
+    rng = np.random.default_rng(0)
+    _, means, covs, regions, true = synth_problem(example_tree, rng, K=3)
+    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=8,
+                          seed=1, min_iter=2, mstep_iters=80, pad_h=8,
+                          pad_w=8)
+    model = PhyloHMRF(example_tree, regions, cfg)
+    result = model.fit(verbose=False)
+    return model, result, true
+
+
+@pytest.fixture(scope="module")
+def fitted_small(example_tree):
+    """One shared short fit (H0=16, max_iter=2) for the posterior/score
+    API tests."""
+    rng = np.random.default_rng(0)
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
+    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=2,
+                          seed=1, mstep_iters=20, pad_h=8, pad_w=8,
+                          min_iter=0, threshold=1e-12)
+    model = PhyloHMRF(example_tree, regions, cfg)
+    result = model.fit(verbose=False)
+    return model, result
+
+
+def test_em_fits_synthetic(example_tree, fitted_synth):
     tree = example_tree
     K = 3
-    _, means, covs, regions, true = synth_problem(tree, rng, K=K)
-    cfg = PhyloHMRFConfig(final_polish=False, n_states=K, max_iter=8, seed=1, min_iter=2,
-                          mstep_iters=80, pad_h=8, pad_w=8)
-    model = PhyloHMRF(tree, regions, cfg)
-    result = model.fit(verbose=False)
+    model, result, true = fitted_synth
 
     assert result.cost_vec.shape[1] == 4
     assert result.n_iters >= 3
@@ -76,13 +100,8 @@ def test_em_len_vec_contract(example_tree, rng):
     assert lv[0, 8] == 1 and lv[1, 8] == 0   # type flags
 
 
-def test_predict_matches_estep(example_tree, rng):
-    tree = example_tree
-    _, _, _, regions, true = synth_problem(tree, rng)
-    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=3, seed=1, mstep_iters=40,
-                          pad_h=8, pad_w=8)
-    model = PhyloHMRF(tree, regions, cfg)
-    result = model.fit(verbose=False)
+def test_predict_matches_estep(fitted_synth):
+    model, result, _ = fitted_synth
     pred = model.predict()
     assert pred.shape == result.labels.shape
     # predict() re-runs the E-step under the restored params: should agree
@@ -122,13 +141,8 @@ def test_final_polish_lowers_energy(example_tree, rng):
     assert energy(r_pol.labels) <= energy(r_plain.labels) + 1e-3
 
 
-def test_predict_proba(example_tree, rng):
-    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
-    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=2, seed=1,
-                          mstep_iters=20, pad_h=8, pad_w=8, min_iter=0,
-                          threshold=1e-12)
-    model = PhyloHMRF(example_tree, regions, cfg)
-    result = model.fit(verbose=False)
+def test_predict_proba(fitted_small):
+    model, result = fitted_small
     proba = model.predict_proba(result.labels)
     assert proba.shape == (model.n_samples, 3)
     np.testing.assert_allclose(proba.sum(1), 1.0, rtol=1e-5)
@@ -136,22 +150,22 @@ def test_predict_proba(example_tree, rng):
     assert (proba.argmax(1) == result.labels).mean() > 0.7
 
 
-def test_score_samples(example_tree, rng):
+def test_score_samples(fitted_small):
     """score_samples: (emission log-evidence, mean-field posteriors); the
     reference's base-class API is an empty stub (base.py:119)."""
-    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
-    cfg = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=2, seed=1,
-                          mstep_iters=20, pad_h=8, pad_w=8, min_iter=0,
-                          threshold=1e-12)
-    model = PhyloHMRF(example_tree, regions, cfg)
-    model.fit(verbose=False)
+    model, _ = fitted_small
     score, post = model.score_samples()
     assert np.isfinite(score)
     assert post.shape == (model.n_samples, 3)
     np.testing.assert_allclose(post.sum(axis=1), 1.0, rtol=1e-5)
-    # a better-fit model scores higher than a far-off one
-    model.means_ = model.means_ + 50.0
-    score_bad, _ = model.score_samples()
+    # a better-fit model scores higher than a far-off one (restore after:
+    # the fixture is module-shared)
+    saved = model.means_
+    try:
+        model.means_ = model.means_ + 50.0
+        score_bad, _ = model.score_samples()
+    finally:
+        model.means_ = saved
     assert score_bad < score
 
 

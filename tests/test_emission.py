@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 from scipy.stats import multivariate_normal
 
 from phylo_hmrf_tpu.models.emission import gaussian_logpdf
@@ -12,6 +13,7 @@ def _random_spd(rng, f):
     return A @ A.T + f * np.eye(f)
 
 
+@pytest.mark.smoke
 def test_logpdf_matches_scipy(rng):
     N, K, F = 200, 5, 4
     X = rng.random((N, F)) * 3

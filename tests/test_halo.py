@@ -95,6 +95,7 @@ def test_halo_energy_parity(example_tree, rng, mesh8):
     assert abs(e1 - e2) <= 0.001 * abs(e1) + 1e-6
 
 
+@pytest.mark.smoke
 def test_halo_extended_mf_kernel_matches_split(rng):
     """mf_sweep_pallas(halo_extended=True) on two half-shards (with real
     exchanged halo rows) must reproduce the full-grid sweep exactly."""

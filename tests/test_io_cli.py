@@ -23,6 +23,34 @@ def _fit_tiny(example_tree, rng, **fit_kw):
     return model, result
 
 
+@pytest.mark.smoke
+def test_mat_schema_roundtrip_no_fit(example_tree, rng, tmp_path):
+    """Smoke: the `.mat`/`.npz` schema contract on a hand-built FitResult —
+    no model fit, so the smoke tier stays sub-minute. The fit-backed
+    schema test below still runs in the quick loop."""
+    from phylo_hmrf_tpu.models.hmrf import FitResult
+    K, P, F, N, n_it = 3, example_tree.n_params, 4, 50, 5
+    res = FitResult(
+        params_vec=rng.random((K, P)), params_vec1=rng.random((K, P)),
+        params_list=rng.random((n_it, K, P)), iter_id1=2, iter_id2=4,
+        cost_vec=rng.random((n_it, 4)),
+        labels=rng.integers(0, K, N).astype(np.int32),
+        means=rng.random((K, F)), covars=rng.random((K, F, F)),
+        n_iters=n_it)
+    len_vec = np.zeros((1, 10), dtype=np.int64)
+    len_vec[0, :2] = (0, N)
+    out = save_estimate(res, len_vec, str(tmp_path), 7, 1.0, K)
+    assert os.path.basename(out) == "estimate_ou_7_1.00_3.mat"
+    m = scipy.io.loadmat(out)
+    for key in ("state_vec", "len_vec", "params_vec1", "params_vec2",
+                "iter_id1", "iter_id2", "cost_vec"):
+        assert key in m, key
+    assert m["state_vec"].size == N and m["len_vec"].shape[1] == 10
+    z = load_estimate(out.replace(".mat", ".npz"))
+    np.testing.assert_allclose(z["means"], res.means)
+    np.testing.assert_allclose(z["covars"], res.covars)
+
+
 def test_mat_output_schema(example_tree, rng, tmp_path):
     model, result = _fit_tiny(example_tree, rng)
     out = save_estimate(result, model.len_vec, str(tmp_path), 0, 1.0, 3)
@@ -210,6 +238,7 @@ def test_hybrid_resume_matches_uninterrupted(example_tree, rng, tmp_path):
     np.testing.assert_allclose(r_full.params_vec1, r_res.params_vec1)
 
 
+@pytest.mark.slow
 def test_crash_recovery_sigkill(example_tree, tmp_path):
     """Fault injection: a fit process is SIGKILLed mid-EM (no cleanup, no
     exception path); resuming from the surviving checkpoint reproduces the

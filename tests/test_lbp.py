@@ -54,6 +54,7 @@ def _random_instance(rng, H, W, K, horizontal_only=False):
     return unary, wmaps, mask
 
 
+@pytest.mark.smoke
 def test_lbp_exact_on_chain(rng):
     """A 1xN grid with only horizontal edges is a tree: min-sum LBP must
     find the exact MAP labeling."""

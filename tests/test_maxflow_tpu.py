@@ -67,6 +67,7 @@ def test_mincut_matches_bruteforce(rng):
 
 
 @pytest.mark.skipif(not native.available(), reason="no native toolchain")
+@pytest.mark.smoke
 def test_swap_optimize_matches_cpp(rng):
     H0, K, beta, beta1 = 20, 4, 1.0, 0.5
     rows, cols = flat_index_order(H0, H0, True)

@@ -96,6 +96,7 @@ def test_parse_alignment_blocks(tmp_path):
     assert "chr2" in out
 
 
+@pytest.mark.smoke
 def test_distributed_noop():
     from phylo_hmrf_tpu.parallel.distributed import initialize_distributed
     info = initialize_distributed()

@@ -23,6 +23,7 @@ def test_box_roundtrip():
     assert 0 < float(tiny) <= 1e-3
 
 
+@pytest.mark.smoke
 def test_lbfgs_quadratic():
     A = jnp.asarray(np.diag([1.0, 4.0, 9.0]))
     b = jnp.asarray([1.0, -2.0, 3.0])

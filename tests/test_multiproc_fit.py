@@ -84,6 +84,7 @@ def test_two_process_spatial_fit_matches_single():
     assert multi[0]["params_sum"] == single[0]["params_sum"]
 
 
+@pytest.mark.slow
 def test_two_process_kmeans_broadcast_consistent():
     """With per-process local k-means init, process 0's parameters are
     broadcast: both processes must still march in lockstep."""
@@ -138,6 +139,7 @@ def test_elastic_recovery_sigkill_restart(tmp_path):
         ref[0]["params_sum"], rel=1e-6)
 
 
+@pytest.mark.slow
 def test_cli_two_process_end_to_end(tmp_path):
     """The CLI drives multi-host mode: chromosomes are partitioned BEFORE
     loading (each process reads only its own contact files), the init is

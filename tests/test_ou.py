@@ -75,6 +75,7 @@ def test_covariance_is_psd(example_tree, rng):
         assert eig.min() > -1e-6
 
 
+@pytest.mark.smoke
 def test_two_leaf_closed_form():
     # root 0 with two leaf children 1, 2
     tree = build_tree([(0, 1), (0, 2)])

@@ -24,6 +24,7 @@ def test_states_grid_roundtrip(rng):
     np.testing.assert_array_equal(grid_to_states(g2, False), flat2)
 
 
+@pytest.mark.smoke
 def test_smooth_removes_small_islands():
     g = np.zeros((40, 40), dtype=np.int64)
     g[10:13, 10:13] = 1          # 9-pixel island of state 1 inside state 0

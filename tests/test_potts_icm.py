@@ -36,6 +36,7 @@ def _np_energy_via_edges(region, unary_flat, labels_flat, beta):
                                labels_flat.astype(np.int32))
 
 
+@pytest.mark.smoke
 def test_grid_energy_matches_edge_list_energy(rng):
     for is_diag in (True, False):
         region = _mk_region(rng, is_diag=is_diag)

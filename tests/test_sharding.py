@@ -48,6 +48,7 @@ def test_pad_bucket():
     assert np.isinf(d2[3]).all()
 
 
+@pytest.mark.smoke
 def test_sharded_estep_matches_single(example_tree, rng, mesh8):
     tree = example_tree
     regions = _many_regions(tree, rng, n=8)

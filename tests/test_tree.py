@@ -8,6 +8,7 @@ import pytest
 from phylo_hmrf_tpu.tree import build_tree, base_matrices
 
 
+@pytest.mark.smoke
 def test_example_tree_structure(example_tree):
     t = example_tree
     assert t.n_nodes == 8
