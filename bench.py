@@ -687,11 +687,15 @@ def main():
 
     tpu_s, util = bench_tpu(tree, region, means, covs, warm, args.iters)
     speedup = cpu["total_s"] / tpu_s
+    # per-phase breakdown in the default JSON too (not just --real / prose):
+    # unary / MF / ICM / posterior+stats, chained-dispatch differenced
+    phases = bench_phases_real(tree, region, means, covs, warm, args.iters)
     print(json.dumps({
         "metric": "chr21_50kb_em_iteration_time",
         "value": round(tpu_s, 4),
         "unit": "s",
         "vs_baseline": round(speedup, 2),
+        "phases": {k: round(v, 5) for k, v in phases.items()},
         "utilization": util,
     }))
 

@@ -13,6 +13,20 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the quick loop is dominated by XLA CPU compiles
+# that are identical run-to-run (same shapes, same 8-device virtual mesh).
+# First run pays the compiles and populates the cache; repeat runs hit it.
+# Opt out with PHMRF_TEST_COMPILE_CACHE=0 (e.g. to measure cold compiles).
+_test_cache = os.environ.get(
+    "PHMRF_TEST_COMPILE_CACHE",
+    os.path.expanduser("~/.cache/phylo_hmrf_jax_tests"))
+if _test_cache and _test_cache != "0":
+    jax.config.update("jax_compilation_cache_dir", _test_cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    # spawned subprocesses (multiproc/elastic/CLI tests) don't import this
+    # conftest — the env var makes them share the same cache
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _test_cache)
+
 import numpy as np
 import pytest
 
@@ -38,8 +52,10 @@ def rng():
 
 def pytest_collection_modifyitems(config, items):
     """Auto-mark the Pallas interpret-mode gates (test_*_pallas.py): CPU
-    interpret execution costs minutes per test. Quick iteration loop:
-    `pytest -m "not slow and not interpret"` (~5 min); CI runs everything.
+    interpret execution costs minutes per test. Tiers (measured on the
+    single-core CI box): `pytest -m smoke` <1 min; the quick loop
+    `pytest -m "not slow and not interpret"` ~5:30 with a warm compile
+    cache (~13 min cold); CI runs everything.
     """
     for item in items:
         if "_pallas" in os.path.basename(str(item.fspath)):
