@@ -152,6 +152,42 @@ def run(opts) -> str:
         int(opts.num_processes) or None,
         None if int(opts.process_id) < 0 else int(opts.process_id))
 
+    # persistent compilation cache (set before anything can compile): the
+    # exact-swap kernels take ~30-45 s to compile the first time; cached
+    # compiles make reruns near-instant
+    cache_dir = os.environ.get("PHMRF_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/phylo_hmrf_jax"))
+    if cache_dir:
+        try:
+            # scope by backend: CPU AOT artifacts compiled on another host
+            # are rejected with noisy feature-mismatch warnings when the
+            # same directory serves both TPU and CPU runs
+            cache_dir = os.path.join(cache_dir, jax.default_backend())
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        except Exception:
+            pass
+
+    # Async first-sync warmup: on a remote-attached TPU (axon tunnel) the
+    # FIRST blocking device round trip of a process pays a one-time runtime
+    # bring-up measured at 14-57 s — independent of the program (a jitted
+    # a+1 pays it too; subsequent init work is ~6 s). Pay it in a daemon
+    # thread concurrently with quantile scan + data loading below; it is
+    # tunnel wait, not CPU, so it overlaps even on a single-core host.
+    # Single-process only: multi-process runs coordinate collectives and
+    # should not race stray device work.
+    if dist["process_count"] == 1:
+        import threading
+
+        def _warm_device():
+            try:
+                import jax.numpy as _jnp
+                jax.device_get(jax.jit(lambda a: a + 1)(_jnp.zeros((8,))))
+            except Exception:
+                pass
+        threading.Thread(target=_warm_device, daemon=True,
+                         name="device-first-sync-warm").start()
+
     local_chroms = chrom_vec
     region_filters = None
     cache_scope = opts.output
@@ -236,20 +272,6 @@ def run(opts) -> str:
             save_cache(regions, cache_scope, cfg)
 
     mesh = None
-    # persistent compilation cache: the exact-swap kernels take ~30-45 s to
-    # compile the first time; cached compiles make reruns near-instant
-    cache_dir = os.environ.get("PHMRF_COMPILE_CACHE",
-                               os.path.expanduser("~/.cache/phylo_hmrf_jax"))
-    if cache_dir:
-        try:
-            # scope by backend: CPU AOT artifacts compiled on another host
-            # are rejected with noisy feature-mismatch warnings when the
-            # same directory serves both TPU and CPU runs
-            cache_dir = os.path.join(cache_dir, jax.default_backend())
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-        except Exception:
-            pass
     n_dev = int(opts.n_devices) or len(jax.local_devices())
     if n_dev > 1:
         from phylo_hmrf_tpu.parallel.mesh import make_mesh
