@@ -260,6 +260,43 @@ def _mstep_solve(p0, post, obs, obs2, n_samples, lambda_0, min_covar, *,
     return jax.vmap(one)(p0, post, obs, obs2)
 
 
+def _check_params_device(solved, n_nodes: int, lo=0.0, hi=100.0):
+    """Vectorized device twin of ``ou.check_params`` (reference
+    ``_check_params``, phylo_hmrf.py:1405-1425): per-state validity of the
+    (K, P) solved params. f32 device comparisons agree bitwise with the
+    host's f64 test because the f32->f64 cast is exact and the bounds are
+    exactly representable."""
+    B = n_nodes - 1
+    p1 = solved[:, 1:]
+    alpha, lam, theta = p1[:, :B], p1[:, B:2 * B], p1[:, 2 * B:]
+    finite = ~jnp.isnan(p1).any(axis=1)
+    in_box = ((alpha >= lo).all(1) & (alpha <= hi).all(1)
+              & (lam >= lo).all(1) & (lam <= hi).all(1)
+              & (theta >= -hi).all(1) & (theta <= hi).all(1))
+    return finite & in_box
+
+
+@functools.partial(jax.jit, static_argnames=("tree", "lo", "hi", "iters"))
+def _mstep_solve_full(p0, post, obs, obs2, n_samples, lambda_0, min_covar, *,
+                      tree, lo, hi, iters):
+    """M-step solve + validity + OU moments in ONE dispatch so the host
+    blocks on exactly one device_get per EM iteration. The separate
+    solve-fetch / check / moments-fetch sequence paid three D2H round
+    trips over the remote TPU tunnel (0.05-8 s each, PARITY §Canonical) —
+    the dominant share of the round-4 canonical M-step wall (13.7 s / 32
+    iters). The speculative moments are only consumed when every state
+    passes validity on attempt 0 (the overwhelmingly common case: the
+    sigmoid box reparameterization keeps solutions inside the reference
+    box by construction, so only a NaN solve can fail); otherwise
+    ``mstep`` falls back to the exact retry path."""
+    solved, _ = _mstep_solve(
+        p0, post, obs, obs2, n_samples, lambda_0, min_covar,
+        tree=tree, lo=lo, hi=hi, iters=iters)
+    valid = _check_params_device(solved, tree.n_nodes)
+    means, covars = ou_moments_batch(solved, tree)
+    return solved, valid, means, covars
+
+
 @functools.partial(jax.jit, static_argnames=("tree", "lo", "hi", "iters"))
 def _init_solve(p0, xbar, xxT, min_covar, *, tree, lo, hi, iters):
     def one(p0_c, xbar_c, xxT_c):
@@ -1027,26 +1064,32 @@ class PhyloHMRF:
         params = self.params_vec.copy()
         guess = self._blend_guess()
         pending = np.ones(self.n_states, dtype=bool)
+        fused_moments = None
         for attempt in range(cfg.mstep_retries):
-            solved, _ = _mstep_solve(
-                jnp.asarray(guess, self._dtype),
-                jnp.asarray(post, self._dtype),
-                jnp.asarray(obs, self._dtype),
-                jnp.asarray(obs2, self._dtype),
-                jnp.asarray(self.n_samples_total, self._dtype),
-                jnp.asarray(cfg.lambda_0, self._dtype),
-                jnp.asarray(cfg.min_covar, self._dtype), tree=self.tree,
-                lo=cfg.param_lo, hi=cfg.param_hi, iters=cfg.mstep_iters)
+            # solve + validity + speculative moments in one dispatch, ONE
+            # blocking device_get (was: solved fetch + host check + moments
+            # dispatch + 2 more fetches = 3 tunnel round trips/iteration)
+            solved, valid, means_d, covars_d = jax.device_get(
+                _mstep_solve_full(
+                    jnp.asarray(guess, self._dtype),
+                    jnp.asarray(post, self._dtype),
+                    jnp.asarray(obs, self._dtype),
+                    jnp.asarray(obs2, self._dtype),
+                    jnp.asarray(self.n_samples_total, self._dtype),
+                    jnp.asarray(cfg.lambda_0, self._dtype),
+                    jnp.asarray(cfg.min_covar, self._dtype), tree=self.tree,
+                    lo=cfg.param_lo, hi=cfg.param_hi,
+                    iters=cfg.mstep_iters))
             solved = np.asarray(solved, np.float64)
-            still_bad = np.zeros_like(pending)
-            for c in range(self.n_states):
-                if not pending[c]:
-                    continue
-                if check_params(solved[c], self.tree.n_nodes) > 0:
-                    params[c] = solved[c]
-                else:
-                    still_bad[c] = True
-            pending = still_bad
+            valid = np.asarray(valid, bool)
+            take = pending & valid
+            params[take] = solved[take]
+            if attempt == 0 and valid.all():
+                # moments(params) == moments(solved) row-for-row: every
+                # state accepted this very solve
+                fused_moments = (np.asarray(means_d, np.float64),
+                                 np.asarray(covars_d, np.float64))
+            pending = pending & ~valid
             if not pending.any():
                 break
             guess = self._blend_guess()
@@ -1055,11 +1098,15 @@ class PhyloHMRF:
             params[pending] = self.init_ou_params[pending]
 
         self.params_vec = params
-        means, covars = _moments(jnp.asarray(params, self._dtype),
-                                 tree=self.tree)
-        self.means_ = np.asarray(means, np.float64)
-        self.covars_ = (np.asarray(covars, np.float64)
-                        + cfg.min_covar * np.eye(self.n_features))
+        if fused_moments is not None:
+            means, covars = fused_moments
+        else:
+            means, covars = _moments(jnp.asarray(params, self._dtype),
+                                     tree=self.tree)
+            means = np.asarray(means, np.float64)
+            covars = np.asarray(covars, np.float64)
+        self.means_ = means
+        self.covars_ = covars + cfg.min_covar * np.eye(self.n_features)
         return params
 
     # ------------------------------------------------------------------

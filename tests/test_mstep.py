@@ -114,3 +114,43 @@ def test_logdet_trace_nonpd():
                                          jnp.asarray(Sn, jnp.float32))
     assert np.isposinf(float(ld_bad))
     assert not np.isnan(float(tr_bad))
+
+
+@pytest.mark.smoke
+def test_fused_mstep_matches_separate_path(example_tree, rng):
+    """`_mstep_solve_full` (solve + device validity + speculative moments in
+    one dispatch, one fetch) must be bitwise-equal to the separate
+    solve / host check_params / _moments sequence it replaced."""
+    from phylo_hmrf_tpu.models.hmrf import (
+        _moments, _mstep_solve, _mstep_solve_full)
+    from phylo_hmrf_tpu.models.ou import check_params
+
+    tree = example_tree
+    K, P, F = 3, tree.n_params, tree.n_leaves
+    m0 = rng.random((K, F)) * 2 + 0.5
+    n = 5000.0
+    post = np.full(K, n)
+    obs = m0 * n
+    obs2 = np.einsum("kf,kg->kfg", m0, m0) * n + np.eye(F) * n
+    guess = rng.random((K, P)) * 0.5 + 0.2
+
+    args = (jnp.asarray(guess, jnp.float32), jnp.asarray(post, jnp.float32),
+            jnp.asarray(obs, jnp.float32), jnp.asarray(obs2, jnp.float32),
+            jnp.asarray(K * n, jnp.float32), jnp.asarray(1e-4, jnp.float32),
+            jnp.asarray(1e-3, jnp.float32))
+    kw = dict(tree=tree, lo=1e-16, hi=100.0, iters=60)
+
+    solved_ref, _ = _mstep_solve(*args, **kw)
+    solved_ref = np.asarray(solved_ref, np.float64)
+    valid_ref = np.array([check_params(solved_ref[c], tree.n_nodes) > 0
+                          for c in range(K)])
+    means_ref, covars_ref = _moments(
+        jnp.asarray(solved_ref, jnp.float32), tree=tree)
+
+    solved, valid, means, covars = jax.device_get(
+        _mstep_solve_full(*args, **kw))
+
+    np.testing.assert_array_equal(np.asarray(solved, np.float64), solved_ref)
+    np.testing.assert_array_equal(np.asarray(valid, bool), valid_ref)
+    np.testing.assert_array_equal(np.asarray(means), np.asarray(means_ref))
+    np.testing.assert_array_equal(np.asarray(covars), np.asarray(covars_ref))
