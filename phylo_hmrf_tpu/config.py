@@ -64,6 +64,10 @@ class PhyloHMRFConfig:
     patience: int = 50                 # iterations allowed past the best-cost iteration
     min_iter: int = 5                  # threshold-based stop only allowed after this many iters
     best_from_iter: int = 3            # best-tracked params/labels only recorded from this iter on
+    em_pipeline: bool = True           # pipeline E-/M-step device dispatch: the next E-step
+                                       # launches against the M-step's speculative device moments
+                                       # so the M-step fetch never blocks the loop (bitwise-equal
+                                       # trajectories; False forces the sequential loop)
 
     # ---- E-step label optimizer ----
     labeler: str = "mf_icm"            # "mf_icm" | "icm" | "lbp" (fast TPU

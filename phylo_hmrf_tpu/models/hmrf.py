@@ -288,12 +288,20 @@ def _mstep_solve_full(p0, post, obs, obs2, n_samples, lambda_0, min_covar, *,
     passes validity on attempt 0 (the overwhelmingly common case: the
     sigmoid box reparameterization keeps solutions inside the reference
     box by construction, so only a NaN solve can fail); otherwise
-    ``mstep`` falls back to the exact retry path."""
+    ``mstep`` falls back to the exact retry path.
+
+    The returned covariances already carry the ``min_covar`` diagonal
+    jitter, added HERE in the model dtype so the device tensor the next
+    E-step consumes is bitwise-equal to the host mirror (an f64 host add
+    rounded back to f32 can differ by one ulp from the f32 add — double
+    rounding — which would fork the pipelined-fit trajectory from the
+    sequential one)."""
     solved, _ = _mstep_solve(
         p0, post, obs, obs2, n_samples, lambda_0, min_covar,
         tree=tree, lo=lo, hi=hi, iters=iters)
     valid = _check_params_device(solved, tree.n_nodes)
     means, covars = ou_moments_batch(solved, tree)
+    covars = covars + min_covar * jnp.eye(covars.shape[-1], dtype=covars.dtype)
     return solved, valid, means, covars
 
 
@@ -509,6 +517,8 @@ class PhyloHMRF:
         self.init_ou_params = None   # (K, P) k-means-fit OU params
         self.means_ = None           # (K, F)
         self.covars_ = None          # (K, F, F)
+        self._moments_dev = None     # device twins of (means_, covars_) when
+                                     # the last mstep produced them on device
         self.labels_local = None     # list of (H, W) warm-start label grids
 
     # ------------------------------------------------------------------
@@ -596,6 +606,7 @@ class PhyloHMRF:
         self.means_ = centers.copy()
         cv = np.cov(X.T) + cfg.min_covar * np.eye(self.n_features)
         self.covars_ = np.tile(cv, (K, 1, 1))
+        self._moments_dev = None    # iteration 0 consumes the host init
 
         self.init_ou_params = self._fit_init_params(X, labels, centers, pre)
         self.params_vec = self.init_ou_params.copy()
@@ -684,7 +695,8 @@ class PhyloHMRF:
     # E-step
     # ------------------------------------------------------------------
 
-    def estep(self, means, covars, warm_grids, exact_method=None):
+    def estep(self, means, covars, warm_grids, exact_method=None,
+              defer=False):
         """Run the E-step over all buckets.
 
         ``exact_method`` ("swap"/"expansion") forces an exact on-device
@@ -695,6 +707,15 @@ class PhyloHMRF:
         n_valid (n_regions,)). Stats are reduced later by `_global_stats`
         in a fixed global region order so the trajectory is independent of
         bucketing and process partitioning.
+
+        ``defer=True`` returns ``(label_grids, collect)`` instead, where
+        ``collect()`` performs the single blocking device fetch and returns
+        ``(stats, costs, nvalid)``. The pipelined fit dispatches the next
+        iteration's E-step against speculative device moments BEFORE
+        collecting this one, so the fetch overlaps device execution — the
+        values are bitwise identical either way (`means`/`covars` may be
+        the device twins from `mstep_dispatch`; they equal the host
+        mirrors' model-dtype casts by construction).
         """
         cfg = self.cfg
         if self._spatial and exact_method is not None:
@@ -737,6 +758,22 @@ class PhyloHMRF:
                     costs[ri] = cv[bi]
                     nvalid[ri] = nv[bi]
 
+        def _finish(label_grids):
+            if not defer:
+                _scatter_pending()
+                return label_grids, (post, obs, obs2), costs, nvalid
+            for t in pending:   # start the D2H copies behind the scenes
+                for a in t[1:]:
+                    try:
+                        a.copy_to_host_async()
+                    except AttributeError:
+                        break
+
+            def collect():
+                _scatter_pending()
+                return (post, obs, obs2), costs, nvalid
+            return label_grids, collect
+
         if self._spatial:
             from jax.sharding import NamedSharding, PartitionSpec
             rows = NamedSharding(self.mesh, PartitionSpec("data"))
@@ -749,8 +786,7 @@ class PhyloHMRF:
                                 o2.reshape(1, K, F, F), cv.reshape(1, 4),
                                 nv.reshape(1)))
                 label_grids[ri] = labels
-            _scatter_pending()
-            return label_grids, (post, obs, obs2), costs, nvalid
+            return _finish(label_grids)
 
         if cfg.labeler in ("swap_tpu", "expansion_tpu"):
             exact_method = ("expansion" if cfg.labeler == "expansion_tpu"
@@ -789,8 +825,7 @@ class PhyloHMRF:
                     self._dev_warm[shape] = (
                         tuple(label_grids[ri] for ri in idxs),
                         dev_buckets[shape])
-            _scatter_pending()
-            return label_grids, (post, obs, obs2), costs, nvalid
+            return _finish(label_grids)
 
         def one_bucket(shape, idxs, img, mask, dmaps):
             # warm labels stay on device across iterations: when the warm
@@ -864,8 +899,7 @@ class PhyloHMRF:
             if isinstance(out_labels, jnp.ndarray):
                 self._dev_warm[shape] = (
                     tuple(label_grids[ri] for ri in idxs), out_labels)
-        _scatter_pending()
-        return label_grids, (post, obs, obs2), costs, nvalid
+        return _finish(label_grids)
 
     def _exact_labels_all(self, means_j, covars_j, warm_grids,
                           method: str = "swap", return_buckets: bool = False):
@@ -1058,41 +1092,86 @@ class PhyloHMRF:
         multi-process runs with a deterministic-order global gather."""
         return costs.T @ ratio_vec
 
-    def mstep(self, stats) -> np.ndarray:
+    def _solve_full_dev(self, guess, post, obs, obs2):
         cfg = self.cfg
+        return _mstep_solve_full(
+            jnp.asarray(guess, self._dtype),
+            jnp.asarray(post, self._dtype),
+            jnp.asarray(obs, self._dtype),
+            jnp.asarray(obs2, self._dtype),
+            jnp.asarray(self.n_samples_total, self._dtype),
+            jnp.asarray(cfg.lambda_0, self._dtype),
+            jnp.asarray(cfg.min_covar, self._dtype), tree=self.tree,
+            lo=cfg.param_lo, hi=cfg.param_hi, iters=cfg.mstep_iters)
+
+    def _moments_np(self, params):
+        """Host-path moments with the in-dtype min_covar jitter — bitwise
+        the tensors `_mstep_solve_full` returns for the same params (the
+        jitter add happens in the model dtype in both, so no double
+        rounding can fork the two)."""
+        means, covars = _moments(jnp.asarray(params, self._dtype),
+                                 tree=self.tree)
+        covars = covars + (jnp.asarray(self.cfg.min_covar, covars.dtype)
+                           * jnp.eye(self.n_features, dtype=covars.dtype))
+        return np.asarray(means, np.float64), np.asarray(covars, np.float64)
+
+    def mstep_dispatch(self, stats) -> dict:
+        """Enqueue the attempt-0 M-step solve and return a handle for
+        `mstep_finalize`, WITHOUT blocking on the device.
+
+        The speculative device moments are published to `self._moments_dev`
+        immediately, so the caller may dispatch the next E-step against
+        them before the validity bits have even left the device (the
+        pipelined fit does exactly this; `mstep_finalize` rolls the
+        speculation back in the rare invalid-solve case)."""
         post, obs, obs2 = self._global_stats(stats)
+        out = self._solve_full_dev(self._blend_guess(), post, obs, obs2)
+        solved, valid, means_d, covars_d = out
+        for a in out:
+            try:
+                a.copy_to_host_async()
+            except AttributeError:  # non-jax backends / older arrays
+                break
+        self._moments_dev = (means_d, covars_d)
+        return {"out": out, "stats": (post, obs, obs2)}
+
+    def mstep_finalize(self, handle) -> bool:
+        """Block on the dispatched solve, accept valid states, and run the
+        reference retry/fallback ladder for invalid ones. Returns True if
+        the speculation was rolled back (some state failed attempt 0), in
+        which case `self._moments_dev`, `means_`, `covars_` and
+        `params_vec` have been corrected and any E-step dispatched against
+        the speculative moments must be re-issued."""
+        cfg = self.cfg
+        post, obs, obs2 = handle["stats"]
         params = self.params_vec.copy()
-        guess = self._blend_guess()
         pending = np.ones(self.n_states, dtype=bool)
+        rolled_back = False
         fused_moments = None
         for attempt in range(cfg.mstep_retries):
-            # solve + validity + speculative moments in one dispatch, ONE
-            # blocking device_get (was: solved fetch + host check + moments
-            # dispatch + 2 more fetches = 3 tunnel round trips/iteration)
-            solved, valid, means_d, covars_d = jax.device_get(
-                _mstep_solve_full(
-                    jnp.asarray(guess, self._dtype),
-                    jnp.asarray(post, self._dtype),
-                    jnp.asarray(obs, self._dtype),
-                    jnp.asarray(obs2, self._dtype),
-                    jnp.asarray(self.n_samples_total, self._dtype),
-                    jnp.asarray(cfg.lambda_0, self._dtype),
-                    jnp.asarray(cfg.min_covar, self._dtype), tree=self.tree,
-                    lo=cfg.param_lo, hi=cfg.param_hi,
-                    iters=cfg.mstep_iters))
+            if attempt == 0:
+                out = handle["out"]
+            else:
+                out = self._solve_full_dev(self._blend_guess(), post, obs,
+                                           obs2)
+            # ONE blocking device_get per attempt (was: solved fetch + host
+            # check + moments dispatch + 2 more fetches = 3 round trips)
+            solved, valid, means_d, covars_d = jax.device_get(out)
             solved = np.asarray(solved, np.float64)
             valid = np.asarray(valid, bool)
             take = pending & valid
             params[take] = solved[take]
-            if attempt == 0 and valid.all():
-                # moments(params) == moments(solved) row-for-row: every
-                # state accepted this very solve
-                fused_moments = (np.asarray(means_d, np.float64),
-                                 np.asarray(covars_d, np.float64))
+            if attempt == 0:
+                if valid.all():
+                    # moments(params) == moments(solved) row-for-row:
+                    # every state accepted this very solve
+                    fused_moments = (np.asarray(means_d, np.float64),
+                                     np.asarray(covars_d, np.float64))
+                else:
+                    rolled_back = True
             pending = pending & ~valid
             if not pending.any():
                 break
-            guess = self._blend_guess()
         if pending.any():
             # reference fallback: keep the k-means-fit init params (:1348)
             params[pending] = self.init_ou_params[pending]
@@ -1101,13 +1180,19 @@ class PhyloHMRF:
         if fused_moments is not None:
             means, covars = fused_moments
         else:
-            means, covars = _moments(jnp.asarray(params, self._dtype),
-                                     tree=self.tree)
-            means = np.asarray(means, np.float64)
-            covars = np.asarray(covars, np.float64)
+            means, covars = self._moments_np(params)
+            # correct the published speculative device moments (upload of
+            # the f64 mirrors reproduces the device values exactly: they
+            # are f64-widened model-dtype tensors)
+            self._moments_dev = (jnp.asarray(means, self._dtype),
+                                 jnp.asarray(covars, self._dtype))
         self.means_ = means
-        self.covars_ = covars + cfg.min_covar * np.eye(self.n_features)
-        return params
+        self.covars_ = covars   # min_covar jitter already applied in-dtype
+        return rolled_back
+
+    def mstep(self, stats) -> np.ndarray:
+        self.mstep_finalize(self.mstep_dispatch(stats))
+        return self.params_vec
 
     # ------------------------------------------------------------------
     # EM driver (reference `fit_accumulate_test`, base.py:301-455)
@@ -1203,35 +1288,87 @@ class PhyloHMRF:
                 abs((cost_rows[-1][2] - cost_rows[-2][2])
                     / cost_rows[-2][2]))
         self.hybrid_exact_iters_ = []
+        self._mstep_rollbacks_ = 0
+        # the CPU-host labelers consume the f64 host moments directly (the
+        # f64 logpdf oracle `_gauss_logpdf_np`); every other path casts to
+        # the model dtype, for which the device twins published by
+        # `mstep_dispatch` are bitwise-equal by construction
+        use_dev_moments = cfg.labeler not in ("swap", "expansion")
+
+        def _exact_for(it_n):
+            """Hybrid exact-pass trigger for iteration ``it_n``. Exact pass
+            when (a) the period comes up, (b) cost1 improvement is about to
+            satisfy the stop rule (within 3x of the threshold) so the run
+            cannot converge onto the weak labeler's fixed point, or (c) the
+            trajectory is still moving fast (relative cost1 change above
+            hybrid_exact_hi): the fast labeler's drift vs exact cuts is
+            largest exactly while the params are in motion (measured 4.7%
+            shifted-energy gap at a moving iteration vs <=0.1% in the
+            plateau on real chr22 — tests/test_real_data.py). The cheap
+            path serves the plateau band threshold*3 < d3 <
+            hybrid_exact_hi, plus whatever the period skips. The stop rule
+            has TWO routes (d3 < thr, OR d1 AND d2 < thr) — both are
+            anticipated, else the run could terminate off a fast-labeler
+            iteration via the d1&d2 route. Pure in the loop state (reads
+            d3_prev/d12_prev, mutates nothing), so the speculative
+            next-iteration dispatch and the top-of-loop consumption compute
+            the same answer."""
+            if self._hybrid is None:
+                return None
+            method, period = self._hybrid
+            if (it_n % period == 0 or d3_prev < 3 * cfg.threshold
+                    or d12_prev < 3 * cfg.threshold
+                    or d3_prev > cfg.hybrid_exact_hi):
+                return method
+            return None
+
+        def _dispatch_estep(exact_method):
+            if use_dev_moments and self._moments_dev is not None:
+                means, covars = self._moments_dev
+            else:
+                means, covars = self.means_, self.covars_
+            return self.estep(means, covars, self.labels_local,
+                              exact_method=exact_method, defer=True)
+
+        # E-step/M-step software pipeline: the next iteration's E-step is
+        # dispatched against the CURRENT M-step's not-yet-verified device
+        # moments, so the M-step's D2H fetch (validity bits + f64 mirrors)
+        # rides along with the next E-step's device execution instead of
+        # blocking the loop — one blocking fetch per iteration instead of
+        # two (each is a 0.05+ s round trip over a remote-tunnel TPU,
+        # PARITY §Canonical). Values are bitwise-identical to the
+        # sequential loop; the rare invalid attempt-0 solve rolls the
+        # speculation back (`mstep_finalize`) and re-dispatches.
+        pending_estep = None    # (it, exact_method, label_grids, collect)
+        pending_mstep = None    # handle from mstep_dispatch
+
+        def _finalize_pending_mstep():
+            nonlocal pending_mstep, pending_estep
+            if pending_mstep is None:
+                return
+            with self.timer.phase("mstep"):
+                rolled = self.mstep_finalize(pending_mstep)
+            pending_mstep = None
+            if rolled:
+                # the speculative E-step consumed stale moments: discard it
+                # and re-dispatch against the corrected ones
+                self._mstep_rollbacks_ += 1
+                pending_estep = None
+
         for it in range(it_start, cfg.max_iter):
-            exact_method = None
-            if self._hybrid is not None:
-                method, period = self._hybrid
-                # exact pass when (a) the period comes up, (b) cost1
-                # improvement is about to satisfy the stop rule (within 3x
-                # of the threshold) so the run cannot converge onto the
-                # weak labeler's fixed point, or (c) the trajectory is
-                # still moving fast (relative cost1 change above
-                # hybrid_exact_hi): the fast labeler's drift vs exact cuts
-                # is largest exactly while the params are in motion
-                # (measured 4.7% shifted-energy gap at a moving iteration
-                # vs <=0.1% in the plateau on real chr22 —
-                # tests/test_real_data.py). The cheap path serves the
-                # plateau band threshold*3 < d3 < hybrid_exact_hi, plus
-                # whatever the period skips. The stop rule has TWO routes
-                # (d3 < thr, OR d1 AND d2 < thr) — both are anticipated,
-                # else the run could terminate off a fast-labeler
-                # iteration via the d1&d2 route
-                if (it % period == 0 or d3_prev < 3 * cfg.threshold
-                        or d12_prev < 3 * cfg.threshold
-                        or d3_prev > cfg.hybrid_exact_hi):
-                    exact_method = method
-                    self.hybrid_exact_iters_.append(it)
+            exact_method = _exact_for(it)
+            if exact_method is not None:
+                self.hybrid_exact_iters_.append(it)
+            _finalize_pending_mstep()
             t0 = time.time()
             with self.timer.phase("estep"):
-                label_grids, stats, costs, _ = self.estep(
-                    self.means_, self.covars_, self.labels_local,
-                    exact_method=exact_method)
+                if (pending_estep is not None
+                        and pending_estep[:2] == (it, exact_method)):
+                    label_grids, collect = pending_estep[2:]
+                else:
+                    label_grids, collect = _dispatch_estep(exact_method)
+                pending_estep = None
+                stats, costs, _ = collect()
             t1 = time.time()
 
             # Reference gather (base.py:388-389): the accumulated
@@ -1292,12 +1429,31 @@ class PhyloHMRF:
 
             t2 = time.time()
             with self.timer.phase("mstep"):
-                self.mstep(stats)
+                pending_mstep = self.mstep_dispatch(stats)
+            if (cfg.em_pipeline and use_dev_moments
+                    and it + 1 < cfg.max_iter):
+                # speculative next E-step: device work + D2H copies overlap
+                # the pending M-step fetch. Host labelers ("swap"/
+                # "expansion") cannot speculate: they consume the f64 host
+                # moments, which only exist after mstep_finalize — a
+                # speculative dispatch would label with the PREVIOUS
+                # iteration's moments and silently flatten the trajectory
+                # (the C++ cut is host-blocking anyway, so there is nothing
+                # to overlap).
+                nxt_exact = _exact_for(it + 1)
+                with self.timer.phase("estep"):
+                    g, c = _dispatch_estep(nxt_exact)
+                pending_estep = (it + 1, nxt_exact, g, c)
+            else:
+                _finalize_pending_mstep()
             if verbose:
                 print(f"[iter {it:3d}] mstep={time.time() - t2:.2f}s")
 
             if (checkpoint_path is not None
                     and (it + 1) % checkpoint_every == 0):
+                # the checkpoint must capture the post-mstep model (params,
+                # moments, rng), so the pending fetch is drained here
+                _finalize_pending_mstep()
                 # flush only the rows added since the last save (O(1)/save),
                 # then atomically replace the main npz pointing at them
                 hist_offset = ckpt.append_history(
@@ -1316,13 +1472,15 @@ class PhyloHMRF:
                      "hist_states": bool(track_states)},
                     extra)
 
+        # drain: a pending M-step at loop exit still finalizes so the model
+        # state (params_vec, moments, rng stream) matches the sequential
+        # loop's — a second fit() on this model must not fork
+        _finalize_pending_mstep()
+
         # restore: params_vec1 = best-from-3; moments from overall best
         self.params_vec = params_best1.copy()
-        means, covars = _moments(jnp.asarray(params_best, self._dtype),
-                                 tree=self.tree)
-        self.means_ = np.asarray(means, np.float64)
-        self.covars_ = (np.asarray(covars, np.float64)
-                        + cfg.min_covar * np.eye(self.n_features))
+        self.means_, self.covars_ = self._moments_np(params_best)
+        self._moments_dev = None
 
         if prewarm_thread is not None:
             # the polish blocks on any still-compiling program anyway (the
@@ -1379,12 +1537,8 @@ class PhyloHMRF:
             self.cfg = cfg0
         # v1 restores the iter>=3 minimum everywhere (base.py:259-260)
         self.params_vec = result.params_vec1.copy()
-        means, covars = _moments(
-            jnp.asarray(result.params_vec1, self._dtype),
-            tree=self.tree)
-        self.means_ = np.asarray(means, np.float64)
-        self.covars_ = (np.asarray(covars, np.float64)
-                        + cfg0.min_covar * np.eye(self.n_features))
+        self.means_, self.covars_ = self._moments_np(result.params_vec1)
+        self._moments_dev = None
         return dataclasses.replace(result, means=self.means_.copy(),
                                    covars=self.covars_.copy())
 

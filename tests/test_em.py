@@ -468,3 +468,80 @@ def test_fused_init_single_fetch(example_tree, rng):
     assert m.init_ou_params.shape == (3, example_tree.n_params)
     assert np.isfinite(m.init_ou_params).all()
     assert len(m.labels_local) == len(regions)
+
+
+@pytest.mark.smoke
+@pytest.mark.parametrize("labeler", ["mf_icm", "swap"])
+def test_pipelined_fit_matches_sequential(example_tree, labeler):
+    """The pipelined EM loop (speculative next-E-step against the M-step's
+    unverified device moments, `em_pipeline=True`, the default) must be
+    bitwise-equal to the sequential dispatch order it replaced — costs,
+    per-iteration params, labels, and the post-fit model state. The host
+    C++ labeler ("swap") consumes f64 host moments that only exist after
+    `mstep_finalize`, so the loop must fall back to sequential dispatch
+    there — a speculative dispatch would label with the previous
+    iteration's moments and flatten the trajectory (regression: the
+    unguarded pipeline stalled a swap fit at its iteration-0 cost)."""
+    rng = np.random.default_rng(3)
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
+    out = {}
+    for pipe in (True, False):
+        cfg = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=6,
+                              seed=1, mstep_iters=30, pad_h=8, pad_w=8,
+                              min_iter=0, em_pipeline=pipe, labeler=labeler)
+        model = PhyloHMRF(example_tree, regions, cfg)
+        out[pipe] = (model.fit(verbose=False), model)
+    r1, m1 = out[True]
+    r0, m0 = out[False]
+    assert r1.cost_vec.shape[0] > 2   # the run actually moved
+    assert r1.cost_vec[0, 3] != r1.cost_vec[-1, 3]
+    np.testing.assert_array_equal(r1.cost_vec, r0.cost_vec)
+    np.testing.assert_array_equal(np.asarray(r1.params_list),
+                                  np.asarray(r0.params_list))
+    np.testing.assert_array_equal(r1.labels, r0.labels)
+    np.testing.assert_array_equal(m1.params_vec, m0.params_vec)
+    np.testing.assert_array_equal(m1.means_, m0.means_)
+    np.testing.assert_array_equal(m1.covars_, m0.covars_)
+    assert m1._mstep_rollbacks_ == 0
+    # the rng stream advanced identically (a second fit must not fork)
+    assert (m1._rng.bit_generator.state == m0._rng.bit_generator.state)
+
+
+def test_pipelined_rollback_matches_sequential(example_tree, monkeypatch):
+    """An invalid attempt-0 M-step solve rolls the speculative E-step back
+    (`mstep_finalize` -> re-dispatch); the corrected trajectory must equal
+    the sequential loop's under the same injected failure."""
+    import phylo_hmrf_tpu.models.hmrf as hmrf_mod
+
+    rng = np.random.default_rng(4)
+    _, _, _, regions, _ = synth_problem(example_tree, rng, K=3, H0=16)
+    real = hmrf_mod._mstep_solve_full
+
+    def run(pipe):
+        calls = {"n": 0}
+
+        def wrapper(*a, **k):
+            solved, valid, means, covars = real(*a, **k)
+            calls["n"] += 1
+            if calls["n"] == 2:   # iteration 1, attempt 0 — in both modes
+                valid = jnp.zeros_like(valid)
+            return solved, valid, means, covars
+
+        monkeypatch.setattr(hmrf_mod, "_mstep_solve_full", wrapper)
+        cfg = PhyloHMRFConfig(final_polish=False, n_states=3, max_iter=5,
+                              seed=1, mstep_iters=30, pad_h=8, pad_w=8,
+                              min_iter=0, em_pipeline=pipe)
+        model = PhyloHMRF(example_tree, regions, cfg)
+        result = model.fit(verbose=False)
+        monkeypatch.setattr(hmrf_mod, "_mstep_solve_full", real)
+        return result, model
+
+    r1, m1 = run(True)
+    r0, m0 = run(False)
+    assert m1._mstep_rollbacks_ == 1 and m0._mstep_rollbacks_ == 1
+    np.testing.assert_array_equal(r1.cost_vec, r0.cost_vec)
+    np.testing.assert_array_equal(np.asarray(r1.params_list),
+                                  np.asarray(r0.params_list))
+    np.testing.assert_array_equal(r1.labels, r0.labels)
+    np.testing.assert_array_equal(m1.params_vec, m0.params_vec)
+    np.testing.assert_array_equal(m1.covars_, m0.covars_)

@@ -146,6 +146,8 @@ def test_fused_mstep_matches_separate_path(example_tree, rng):
                           for c in range(K)])
     means_ref, covars_ref = _moments(
         jnp.asarray(solved_ref, jnp.float32), tree=tree)
+    # the fused path adds the min_covar jitter on device, in-dtype
+    covars_ref = covars_ref + jnp.float32(1e-3) * jnp.eye(F, dtype=jnp.float32)
 
     solved, valid, means, covars = jax.device_get(
         _mstep_solve_full(*args, **kw))
