@@ -31,8 +31,10 @@ def main():
                          "hg38 relative length (chr1 gets --n-bins, chr22 "
                          "~0.20x of it) — for genome-shaped dress "
                          "rehearsals with distinct region sizes")
-    ap.add_argument("--blocks-per-chrom", type=int, default=1,
-                    help="write N synteny blocks per chromosome — "
+    ap.add_argument("--blocks-per-chrom", default="1",
+                    help="synteny blocks per chromosome — one N for all, "
+                         "or a comma list matched to --chroms (e.g. '3,1' "
+                         "for non-uniform regions-per-chromosome); "
                          "pod-scale region-granularity partitions "
                          "(more processes than chromosomes) need "
                          "several regions per chromosome to fan out")
@@ -73,6 +75,12 @@ def main():
     n = args.n_bins
     K = args.n_states
     chroms = [int(c) for c in args.chroms.split(",")]
+    bpc = [int(b) for b in str(args.blocks_per_chrom).split(",")]
+    if len(bpc) == 1:
+        bpc = bpc * len(chroms)
+    assert len(bpc) == len(chroms), "--blocks-per-chrom list must match " \
+                                    "--chroms"
+    blocks = dict(zip(chroms, bpc))
     # hg38 chromosome lengths relative to chr1 (248.9 Mb)
     rel = {1: 1.00, 2: .974, 3: .797, 4: .764, 5: .729, 6: .686, 7: .640,
            8: .583, 9: .556, 10: .537, 11: .543, 12: .535, 13: .459,
@@ -116,7 +124,7 @@ def main():
                     f.write(f"{a * res}\t{b * res}\t{val:.4f}\n")
 
         start, stop = 2 * res, (n - 2) * res
-        nb = max(1, args.blocks_per_chrom)
+        nb = max(1, blocks[c])
         # contiguous blocks on resolution boundaries; each row is its own
         # synteny block -> its own region
         cuts = [start + ((stop - start) * i // nb) // res * res

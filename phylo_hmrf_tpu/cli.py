@@ -246,13 +246,27 @@ def run(opts) -> str:
                 np.ascontiguousarray(np.atleast_2d(m_vec), np.float64))
         x_max = float(np.median(m_vec[:, 6]))
     else:
-        m_vec = quantile_contact_vec(local_chroms, cfg.resolution,
+        # pod-scale region partitions can give SEVERAL processes regions
+        # of the same chromosome; exactly one (the owner of the
+        # chromosome's lowest region_id) scans its quantile stats, or the
+        # gathered multiset would duplicate chromosome blocks unevenly and
+        # shift the x_max median away from the single-process value
+        scan_chroms = local_chroms
+        if region_filters is not None:
+            from phylo_hmrf_tpu.parallel.multiproc import (
+                quantile_scan_chromosomes)
+            scan_chroms = quantile_scan_chromosomes(
+                chrom_vec, data_path, cfg, region_filters)
+        m_vec = quantile_contact_vec(scan_chroms, cfg.resolution,
                                      ref_filename, paths, species,
                                      cfg.legacy_bin_count)
         if dist["process_count"] > 1:
             from phylo_hmrf_tpu.parallel.multiproc import (
                 gather_quantile_rows)
-            m_vec = gather_quantile_rows(m_vec)
+            m_vec = gather_quantile_rows(
+                m_vec,
+                scan_chroms if region_filters is not None else None,
+                chrom_vec)
         if dist["process_index"] == 0:
             np.savetxt(qfile, m_vec, fmt="%.4f", delimiter="\t")
         x_max = x_max_from_quantiles(m_vec)

@@ -380,14 +380,69 @@ def _allgather_ragged(arr: np.ndarray):
     return out
 
 
-def gather_quantile_rows(m_vec_local: np.ndarray) -> np.ndarray:
+def quantile_scan_chromosomes(chrom_vec, synteny_dir: str, cfg,
+                              region_filters):
+    """The subset of this process's chromosomes it should quantile-scan
+    under a REGION-granularity partition: exactly ONE process owns each
+    chromosome's scan — the one holding the chromosome's globally-lowest
+    region_id (deterministic from synteny metadata alone, no collective).
+
+    Without this, every process owning ANY region of a chromosome would
+    scan and contribute that chromosome's full (S, 10) quantile block,
+    and the gathered multiset would duplicate chromosomes unevenly —
+    silently shifting x_max = median(col 6) away from the
+    single-process/reference value (phylo_hmrf.py:1662-1663) whenever
+    per-chromosome owner counts differ."""
+    out = []
+    for c in chrom_vec:
+        if c not in region_filters:
+            continue
+        rids = [rid for rid, _ in
+                estimate_region_samples(c, synteny_dir, cfg)]
+        if rids and min(rids) in region_filters[c]:
+            out.append(c)
+    return out
+
+
+def gather_quantile_rows(m_vec_local: np.ndarray, scan_chroms=None,
+                         chrom_vec=None) -> np.ndarray:
     """Allgather per-(chromosome, species) quantile rows so every process
     computes the same global x_max from only its locally scanned
-    chromosomes. Row order differs from a single-process scan, but the
-    only consumer is the MEDIAN of column 6 (x_max_from_quantiles), which
-    is order-invariant."""
-    return np.concatenate(_allgather_ragged(
-        np.asarray(m_vec_local, np.float64)), axis=0)
+    chromosomes.
+
+    With `scan_chroms`/`chrom_vec` (pod-scale partitions), each row is
+    keyed by (chromosome position in chrom_vec, within-chromosome row
+    index) and the merged matrix is re-sorted to the exact single-process
+    row order — so both x_max and the chrom_quantile_test.txt cache file
+    written by process 0 are byte-identical to a single-process scan.
+    Duplicate chromosome blocks (which quantile_scan_chromosomes prevents
+    at the source) are dropped defensively, keeping one block per
+    chromosome. Without keys (chromosome-granularity partitions, where
+    each chromosome is scanned exactly once), rows are concatenated in
+    process order; the only consumer is the MEDIAN of column 6
+    (x_max_from_quantiles), which is order-invariant."""
+    m_vec_local = np.asarray(m_vec_local, np.float64)
+    if scan_chroms is None:
+        return np.concatenate(_allgather_ragged(m_vec_local), axis=0)
+    assert chrom_vec is not None
+    n_chr = len(scan_chroms)
+    per = m_vec_local.shape[0] // n_chr if n_chr else 0
+    pos = {int(c): i for i, c in enumerate(chrom_vec)}
+    keys = np.zeros((m_vec_local.shape[0], 2), np.float64)
+    for i, c in enumerate(scan_chroms):
+        keys[i * per:(i + 1) * per, 0] = pos[int(c)]
+        keys[i * per:(i + 1) * per, 1] = np.arange(per)
+    tagged = np.concatenate([keys, m_vec_local], axis=1)
+    rows = np.concatenate(_allgather_ragged(tagged), axis=0)
+    out, seen = [], set()
+    for row in rows[np.lexsort((rows[:, 1], rows[:, 0]))]:
+        key = (int(row[0]), int(row[1]))
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(row[2:])
+    return (np.asarray(out, np.float64) if out
+            else np.zeros((0, m_vec_local.shape[1]), np.float64))
 
 
 def gather_global_result(model, result, chrom_vec):

@@ -142,8 +142,13 @@ def merge_estimate_file(path1: str, species_vec, output_filename: str,
     for chrom in chrom_vec:
         d = pd.read_table(f"{path1}/test{chrom}.txt", header=None)
         cols = list(d)
-        sub = [cols[0], cols[1], cols[4], cols[7], cols[8], cols[9],
-               cols[10]][:3 + len(species_vec)]
+        # one feature column per species (the reference hardcodes 4
+        # species at utility.py:93; this port follows species_vec)
+        if len(cols) < 7 + len(species_vec):
+            raise ValueError(
+                f"test{chrom}.txt has {len(cols)} columns; expected "
+                f"{7 + len(species_vec)} for {len(species_vec)} species")
+        sub = [cols[0], cols[1], cols[4]] + cols[7:7 + len(species_vec)]
         t = d.loc[:, sub].copy()
         t[cols[0]] = [f"chr{chrom}"] * len(t)
         frames.append(t)

@@ -258,6 +258,128 @@ def test_cli_pod_scale_8_processes(tmp_path):
                                rtol=1e-6)
 
 
+def test_quantile_scan_owner_unique_per_chromosome(tmp_path):
+    """Region-granularity partitions give several processes regions of the
+    SAME chromosome; exactly one (the owner of the chromosome's lowest
+    region_id) must quantile-scan it, or the gathered row multiset would
+    duplicate chromosome blocks unevenly and shift the x_max median
+    (ADVICE r4 high). Checked on a non-uniform 3+1 region layout across
+    every possible process count."""
+    from phylo_hmrf_tpu.config import PhyloHMRFConfig
+    from phylo_hmrf_tpu.parallel.multiproc import (
+        estimate_region_samples, partition_chromosome_regions,
+        quantile_scan_chromosomes)
+
+    res = 50000
+    # chr21: 3 blocks, chr22: 1 block (region_ids assigned in synteny order)
+    with open(tmp_path / "chr21.synteny.txt", "w") as f:
+        for a, b in [(0, 10), (10, 20), (20, 30)]:
+            f.write(f"{a * res}\t{b * res}\t{(b - a) * res}\n")
+    with open(tmp_path / "chr22.synteny.txt", "w") as f:
+        f.write(f"0\t{12 * res}\t{12 * res}\n")
+    cfg = PhyloHMRFConfig(n_states=3, resolution=res)
+    chrom_vec = [21, 22]
+
+    min_rid = {c: min(r for r, _ in
+                      estimate_region_samples(c, str(tmp_path), cfg))
+               for c in chrom_vec}
+    for nproc in (3, 4, 6, 8):
+        owners = {c: [] for c in chrom_vec}
+        for pid in range(nproc):
+            local, filters = partition_chromosome_regions(
+                chrom_vec, str(tmp_path), cfg, nproc, pid)
+            scan = quantile_scan_chromosomes(chrom_vec, str(tmp_path), cfg,
+                                             filters)
+            for c in scan:
+                owners[c].append(pid)
+                # the scan owner holds the chromosome's lowest region_id
+                assert min_rid[c] in filters[c]
+            assert set(scan) <= set(local)
+        for c in chrom_vec:
+            assert len(owners[c]) == 1, (nproc, c, owners)
+
+
+def test_gather_quantile_rows_keyed_single_process_order():
+    """Keyed gathering restores the single-process row order (chromosomes
+    in chrom_vec order, species within) and drops duplicate chromosome
+    blocks — under process_count == 1 the collective is an identity, so
+    the sort/dedup path is exercised directly."""
+    from phylo_hmrf_tpu.parallel.multiproc import gather_quantile_rows
+
+    S = 4
+    rows21 = np.arange(S * 10, dtype=np.float64).reshape(S, 10)
+    rows22 = rows21 + 100.0
+    # local scan order (22, 21) differs from chrom_vec order (21, 22)
+    local = np.concatenate([rows22, rows21], axis=0)
+    merged = gather_quantile_rows(local, scan_chroms=[22, 21],
+                                  chrom_vec=[21, 22])
+    np.testing.assert_array_equal(
+        merged, np.concatenate([rows21, rows22], axis=0))
+    # unkeyed path unchanged
+    np.testing.assert_array_equal(gather_quantile_rows(local), local)
+
+
+@pytest.mark.slow
+def test_cli_pod_scale_nonuniform_regions(tmp_path):
+    """Pod-scale partition with NON-uniform regions per chromosome (3
+    blocks on chr21, 1 on chr22) across 4 processes: per-chromosome owner
+    counts are unequal, the exact layout where duplicated quantile rows
+    would shift x_max (ADVICE r4 high). The merged .mat AND the
+    chrom_quantile_test.txt cache written by process 0 must be bitwise
+    equal to the single-process run's."""
+    import scipy.io
+
+    ex = tmp_path / "ex"
+    gen = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "make_synthetic_example.py")
+    subprocess.run([sys.executable, gen, "--out", str(ex), "--n-bins",
+                    "36", "--n-states", "3", "--blocks-per-chrom", "3,1"],
+                   check=True, capture_output=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               PYTHONPATH=repo)
+    base = [sys.executable, "-m", "phylo_hmrf_tpu.cli", "-n", "3",
+            "-p", str(ex), "--chromvec", "21,22", "--miter", "2",
+            "--seed", "1"]
+
+    single_dir = tmp_path / "single"
+    single_dir.mkdir()
+    subprocess.run(base + ["--output", str(tmp_path / "out_single")],
+                   check=True, capture_output=True, cwd=str(single_dir),
+                   env=env)
+    mat_s = scipy.io.loadmat(
+        str(tmp_path / "out_single" / "estimate_ou_0_1.00_3.mat"))
+
+    nproc = 4
+    port = _free_port()
+    procs = [subprocess.Popen(
+        base + ["--output", str(tmp_path / "out"),
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num_processes", str(nproc), "--process_id", str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=str(tmp_path), env=env)
+        for pid in range(nproc)]
+    for pid, p in enumerate(procs):
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"pid {pid}: {err[-3000:]}"
+
+    # the quantile cache file must not be poisoned by duplicated rows
+    q_s = (single_dir / "chrom_quantile_test.txt").read_text()
+    q_m = (tmp_path / "chrom_quantile_test.txt").read_text()
+    assert q_m == q_s
+
+    merged = tmp_path / "out" / "estimate_ou_0_1.00_3.mat"
+    assert merged.exists()
+    mat_m = scipy.io.loadmat(str(merged))
+    np.testing.assert_array_equal(mat_m["len_vec"], mat_s["len_vec"])
+    np.testing.assert_array_equal(mat_m["state_vec"], mat_s["state_vec"])
+    np.testing.assert_allclose(mat_m["cost_vec"], mat_s["cost_vec"],
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(mat_m["params_vec1"], mat_s["params_vec1"],
+                               rtol=1e-6)
+
+
 @pytest.mark.slow
 def test_collective_timeout_detects_hung_peer():
     """In-run failure detection (VERDICT r2 weak item 6): with

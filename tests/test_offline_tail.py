@@ -90,6 +90,30 @@ def test_merge_estimate_file(tmp_path):
     assert per_sp.iloc[0, 3] == 2.5    # second species' value
 
 
+def test_merge_estimate_file_many_species(tmp_path):
+    """More than 4 species: the column pick must follow species_vec (the
+    reference is 4-species-hardcoded at utility.py:93; this port is
+    general), not silently drop the extra feature columns (ADVICE r4)."""
+    species = [f"sp{i}" for i in range(6)]
+    row = [10, 1, 15, 20, 2, 25, 3] + [float(i + 1) for i in range(6)]
+    (tmp_path / "test21.txt").write_text("\t".join(map(str, row)) + "\n")
+    out = tmp_path / "est.txt"
+    merge_estimate_file(str(tmp_path), species, str(out),
+                        chrom_vec=[21], output_path=str(tmp_path))
+    merged = pd.read_table(out, header=None)
+    assert merged.shape == (1, 9)      # chrom, bin1, bin2, f1..f6
+    assert list(merged.iloc[0, 3:]) == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    per_sp = pd.read_table(tmp_path / "estimate_sp5.txt", header=None)
+    assert per_sp.iloc[0, 3] == 6.0
+
+    # short input must raise, not silently mis-slice
+    (tmp_path / "test22.txt").write_text(
+        "\t".join(map(str, row[:10])) + "\n")
+    with pytest.raises(ValueError):
+        merge_estimate_file(str(tmp_path), species, str(out),
+                            chrom_vec=[22], output_path=str(tmp_path))
+
+
 def test_chrom_contactMtx(tmp_path):
     f = tmp_path / "contacts.50Kb.txt"
     f.write_text("0\t50000\t2.0\n100000\t150000\tnan\n")
