@@ -80,7 +80,63 @@ def parse_args(argv=None):
     a("--n_workers", default="0", help="data-loading process pool size")
     a("--profile_dir", default="", help="write a jax.profiler trace here")
     a("--cost_log", default="", help="JSONL per-iteration cost log file")
+    a("--run_json", default="",
+      help="write a machine-readable run artifact (config, walls, phase "
+           "timings, cost trajectory, final metrics) to this path")
     return p.parse_args(argv)
+
+
+def _write_run_json(path, *, opts, cfg, x_max, walls, model, result,
+                    out_file, dist):
+    """Machine-readable run artifact (VERDICT r4 item 7): everything
+    PARITY §Canonical states in prose — phase timings, cost trajectory,
+    final metrics — as one re-checkable JSON."""
+    import json
+
+    import jax
+
+    used = np.unique(result.labels).size if result.labels is not None else 0
+    cost = np.asarray(result.cost_vec, dtype=float)
+    doc = {
+        "schema": "phylo_hmrf_tpu.run/1",
+        "config": {
+            "n_states": cfg.n_states, "beta": cfg.beta, "beta1": cfg.beta1,
+            "estimate_type": cfg.estimate_type, "max_iter": cfg.max_iter,
+            "threshold": cfg.threshold, "resolution": cfg.resolution,
+            "labeler": cfg.labeler, "final_polish": cfg.final_polish,
+            "polish_method": cfg.polish_method, "seed": cfg.seed,
+            "dtype": cfg.dtype, "chromvec": opts.chromvec,
+            "num_processes": dist["process_count"],
+        },
+        "environment": {
+            "backend": jax.default_backend(),
+            "device_kind": jax.devices()[0].device_kind,
+            "n_devices": len(jax.devices()),
+        },
+        # peak device memory (bytes), where the runtime exposes it — the
+        # measured number behind SCALING.md's 10kb HBM budget table
+        "hbm_peak_bytes": (lambda s: int(s["peak_bytes_in_use"])
+                           if s and "peak_bytes_in_use" in s else None)(
+            getattr(jax.local_devices()[0], "memory_stats", lambda: None)()),
+        "x_max": x_max,
+        "n_samples": int(model.n_samples),
+        "n_regions": len(model.regions),
+        "walls_s": {k: round(v, 3) for k, v in walls.items()},
+        "phase_timings": model.timer.summary(),
+        "cost_trajectory": cost.tolist(),
+        "final": {
+            "n_iters": int(result.n_iters),
+            "iter_id1": int(result.iter_id1),
+            "iter_id2": int(result.iter_id2),
+            "final_cost1": float(cost[-1, 3]) if cost.size else None,
+            "best_cost1": float(cost[:, 3].min()) if cost.size else None,
+            "states_used": int(used),
+            "output_file": out_file,
+        },
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"run artifact -> {path}")
 
 
 def run(opts) -> str:
@@ -92,6 +148,10 @@ def run(opts) -> str:
     from phylo_hmrf_tpu.models.hmrf import PhyloHMRF
     from phylo_hmrf_tpu.tree import load_tree
     from phylo_hmrf_tpu.utils.io import save_estimate
+
+    import time
+    t_start = time.perf_counter()
+    walls = {}
 
     data_path = opts.root_path
     cfg = PhyloHMRFConfig(
@@ -271,7 +331,9 @@ def run(opts) -> str:
             np.savetxt(qfile, m_vec, fmt="%.4f", delimiter="\t")
         x_max = x_max_from_quantiles(m_vec)
     print(f"x_max = {x_max}")
+    walls["quantile_s"] = time.perf_counter() - t_start
 
+    t_load = time.perf_counter()
     regions = None
     if int(opts.reload_mode) == 1:
         regions = load_cache(cache_scope, cfg)
@@ -284,6 +346,7 @@ def run(opts) -> str:
                                   region_filters=region_filters)
         if regions:
             save_cache(regions, cache_scope, cfg)
+    walls["load_s"] = time.perf_counter() - t_load
 
     mesh = None
     n_dev = int(opts.n_devices) or len(jax.local_devices())
@@ -318,11 +381,13 @@ def run(opts) -> str:
         ckpt_path = (f"{ckpt_path}.proc{dist['process_index']}"
                      f"_c{chrom_tag}")
     from phylo_hmrf_tpu.utils.profiling import jax_trace
+    t_fit = time.perf_counter()
     with jax_trace(opts.profile_dir or None):
         result = model.fit(checkpoint_path=ckpt_path,
                            checkpoint_every=int(opts.checkpoint_every),
                            resume=bool(ckpt_path),
                            cost_log=opts.cost_log or None)
+    walls["fit_s"] = time.perf_counter() - t_fit
     print("phase timings:", model.timer.report())
 
     out_dir = opts.output
@@ -342,10 +407,20 @@ def run(opts) -> str:
                                  cfg.lambda_0, cfg.n_states)
         print(f"saved {out_file} (merged from "
               f"{dist['process_count']} processes)")
+        if opts.run_json:
+            walls["total_s"] = time.perf_counter() - t_start
+            _write_run_json(opts.run_json, opts=opts, cfg=cfg, x_max=x_max,
+                            walls=walls, model=model, result=merged,
+                            out_file=out_file, dist=dist)
         return out_file
     out_file = save_estimate(result, model.len_vec, out_dir,
                              cfg.run_id, cfg.lambda_0, cfg.n_states)
     print(f"saved {out_file}")
+    if opts.run_json:
+        walls["total_s"] = time.perf_counter() - t_start
+        _write_run_json(opts.run_json, opts=opts, cfg=cfg, x_max=x_max,
+                        walls=walls, model=model, result=result,
+                        out_file=out_file, dist=dist)
     return out_file
 
 
