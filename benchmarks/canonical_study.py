@@ -280,11 +280,28 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
+    import jax.numpy as jnp
 
     from phylo_hmrf_tpu.utils.metrics import best_match_accuracy
 
+    # persistent compile cache (same default as the CLI) so arm walls are
+    # not dominated by XLA compiles
+    cache_dir = os.environ.get("PHMRF_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/phylo_hmrf_jax"))
+    if cache_dir and cache_dir != "0":
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(cache_dir, jax.default_backend()))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
     t_all = time.perf_counter()
     tree, regions, x_max = load_canonical(args.input, args.miter)
+
+    # pay the remote-tunnel first-sync bring-up BEFORE any arm, and record
+    # it, so per-arm walls are device work (PARITY §Canonical accounting)
+    t0 = time.perf_counter()
+    jax.device_get(jax.jit(lambda a: a + 1)(jnp.zeros((8,))))
+    first_sync_s = round(time.perf_counter() - t0, 1)
+    print(f"first device sync: {first_sync_s}s", flush=True)
     n_samples = int(sum(r.n_samples for r in regions))
     print(f"loaded {len(regions)} regions, {n_samples} samples, "
           f"x_max={x_max:.2f}", flush=True)
@@ -295,7 +312,8 @@ def main(argv=None):
                    "chromvec": [21, 22], "seed": 0, "beta": 1.0,
                    "beta1": 0.5},
         "environment": {"backend": jax.default_backend(),
-                        "device_kind": jax.devices()[0].device_kind},
+                        "device_kind": jax.devices()[0].device_kind,
+                        "first_sync_s": first_sync_s},
         "n_samples": n_samples,
         "x_max": x_max,
         "arms": {},

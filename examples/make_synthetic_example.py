@@ -103,7 +103,16 @@ def main():
 
     for c in chroms:
         n = bins[c]
-        labels = sample_potts_labels(rng, n, n, K, beta=1.2, n_sweeps=15)
+        # the Gibbs sampler is O(n^2 K) per sweep — at 10kb dress-rehearsal
+        # scale (3000+ bins) sample the state field at 1/8 resolution and
+        # block-upsample (states are spatially coherent at both scales)
+        if n > 1024:
+            n_c = (n + 7) // 8
+            coarse = sample_potts_labels(rng, n_c, n_c, K, beta=1.2,
+                                         n_sweeps=15)
+            labels = np.kron(coarse, np.ones((8, 8), np.int32))[:n, :n]
+        else:
+            labels = sample_potts_labels(rng, n, n, K, beta=1.2, n_sweeps=15)
         labels = np.triu(labels) + np.triu(labels, 1).T
         ii, jj = np.triu_indices(n)
         # distance-decay background + state-dependent signal per species
