@@ -129,7 +129,8 @@ def _estep_bucket(img, mask, dmaps, warm, means, covars, beta, beta1, *,
         e_b = potts_energy_pallas(unary_k, mask_i, cand_b, w_cut, beta)
         labels_pre = jnp.where((e_a <= e_b)[:, None, None], cand_a, cand_b)
         stats, cost_vec, n_valid = _finish_fused(
-            -unary_k, img, mask, dmaps, labels_pre, beta, beta1, weighted_pp)
+            unary_k, img, mask, dmaps, labels_pre, beta, beta1, weighted_pp,
+            from_unary=True)
         return labels_pre, stats, cost_vec, n_valid
 
     logprob = gaussian_logpdf(img, means, covars)        # (R,H,W,K)
@@ -166,9 +167,12 @@ def _estep_bucket(img, mask, dmaps, warm, means, covars, beta, beta1, *,
 
 
 def _finish_fused(lp_k, img, mask, dmaps, labels, beta, beta1,
-                  weighted_pp: bool):
+                  weighted_pp: bool, from_unary: bool = False):
     """Pallas fused posterior/cost/stats reduction (ops/finish_pallas.py);
-    lp_k is the K-major (R, K, H, W) log-density field. Returns (per-region
+    lp_k is the K-major (R, K, H, W) log-density field — or, with
+    ``from_unary``, the already-materialized unary field (-logprob), which
+    the kernel flips per-tile (bitwise identical; avoids a second K-major
+    HBM slab at the pallas_call boundary). Returns (per-region
     (post, obs, obs2), cost_vec (R,4), n_valid (R,)) with
     `posteriors_and_costs` cost semantics."""
     from phylo_hmrf_tpu.ops.finish_pallas import finish_stats_pallas
@@ -177,7 +181,7 @@ def _finish_fused(lp_k, img, mask, dmaps, labels, beta, beta1,
     img_f = jnp.transpose(img, (0, 3, 1, 2))
     post, obs, obs2, sums = finish_stats_pallas(
         lp_k, img_f, mask.astype(jnp.int32), labels.astype(jnp.int32),
-        w_pp, beta, SMALL_EPS)
+        w_pp, beta, SMALL_EPS, negate=from_unary)
     n_valid = sums[:, 3]
     nv = jnp.maximum(n_valid, 1.0)
     pairwise_cost = sums[:, 0] / nv

@@ -44,7 +44,8 @@ from phylo_hmrf_tpu.ops.mf_pallas import _HALO, _shift2, \
 
 def _finish_kernel(scalars_ref, lp_ref, img_ref, mask_ref, labp_ref, wp_ref,
                    post_ref, obs_ref, obs2_ref, sums_ref,
-                   lab_scratch, w_scratch, sem, *, tile_h: int):
+                   lab_scratch, w_scratch, sem, *, tile_h: int,
+                   negate: bool = False):
     r = pl.program_id(0)
     i = pl.program_id(1)
     beta = scalars_ref[0, 0]
@@ -63,7 +64,13 @@ def _finish_kernel(scalars_ref, lp_ref, img_ref, mask_ref, labp_ref, wp_ref,
 
     lab = lab_scratch[:]        # (S, W) int32
     w = w_scratch[:]            # (4, S, W)
-    logprob = lp_ref[0]         # (K, TH, W)
+    # IEEE negation is exact, so accepting the unary field (-logprob)
+    # directly and flipping it per-tile here is bitwise identical to the
+    # caller materializing a second K-major slab just to negate it —
+    # which is what `-unary_k` at a pallas_call operand would do (custom
+    # calls take buffers; XLA cannot fuse elementwise into them). At
+    # K=30 on a 3424^2 region that slab is 1.4 GB of peak HBM.
+    logprob = -lp_ref[0] if negate else lp_ref[0]   # (K, TH, W)
     img = img_ref[0]            # (F, TH, W)
     valid = mask_ref[0] != 0    # (TH, W)
     K = logprob.shape[0]
@@ -260,17 +267,20 @@ def _pick_tile_h_finish(H: int, K: int, F: int, W: int,
                        budget_bytes)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "negate"))
 def finish_stats_pallas(logprob_k: jnp.ndarray, img_f: jnp.ndarray,
                         mask: jnp.ndarray, labels: jnp.ndarray,
                         wpp: jnp.ndarray, beta, small_eps, *,
-                        interpret: bool = False):
+                        interpret: bool = False, negate: bool = False):
     """Fused posterior/cost/stats pass over a region batch.
 
     logprob_k (R, K, H, W); img_f (R, F, H, W); mask (R, H, W) int32;
     labels (R, H, W) int32; wpp (R, 4, H, W) — the pairwise-potential
     weight maps (`weight_maps` for estimate_type==3, `valid_maps`
-    otherwise). Returns (post (R, K), obs (R, K, F), obs2 (R, K, F, F),
+    otherwise). With ``negate`` the first operand is the UNARY field
+    (-logprob) and is flipped in-kernel — bitwise identical, and it
+    spares the caller a second K-major HBM slab (see _finish_kernel).
+    Returns (post (R, K), obs (R, K, F), obs2 (R, K, F, F),
     sums (R, 8) = [pp_sum, ppn_sum, lp_sum, n_valid, 0...]).
     """
     R, K, H, W = logprob_k.shape
@@ -313,7 +323,7 @@ def finish_stats_pallas(logprob_k: jnp.ndarray, img_f: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_finish_kernel, tile_h=tile_h)
+    kernel = functools.partial(_finish_kernel, tile_h=tile_h, negate=negate)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(

@@ -98,6 +98,26 @@ def test_finish_fused_multi_tile_and_batch(rng):
                                    atol=2e-6)
 
 
+def test_finish_fused_negate_bitwise(rng):
+    """negate=True with the unary field must be BITWISE equal to
+    negate=False with the logprob field (IEEE negation is exact) — this is
+    what lets _estep_bucket skip materializing a second K-major slab."""
+    K, F, beta = 4, 3, 1.0
+    region, logprob, labels, wm = _problem(rng, 40, 40, K, F)
+    img = region.img
+    lp_k = jnp.transpose(jnp.asarray(logprob[None]), (0, 3, 1, 2))
+    img_f = jnp.transpose(jnp.asarray(img[None]), (0, 3, 1, 2))
+    mask = jnp.asarray(region.mask[None].astype(np.int32))
+    a = finish_stats_pallas(lp_k, img_f, mask, jnp.asarray(labels[None]),
+                            jnp.asarray(wm[None]), beta, SMALL_EPS,
+                            interpret=True)
+    b = finish_stats_pallas(-lp_k, img_f, mask, jnp.asarray(labels[None]),
+                            jnp.asarray(wm[None]), beta, SMALL_EPS,
+                            interpret=True, negate=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_potts_energy_pallas_matches_jnp(rng):
     from phylo_hmrf_tpu.ops.finish_pallas import potts_energy_pallas
     from phylo_hmrf_tpu.ops.potts import potts_energy
